@@ -1,0 +1,216 @@
+"""Canonical configuration for the TPU-native stereo-matching engine.
+
+This module pins the *numeric contract* of the whole framework: every stage of
+the pipeline (preprocess -> cost -> aggregation -> WTA -> post-process) is
+defined in terms of the parameters here, and the NumPy oracle
+(`aswstereomatch_tpu.models.oracle_numpy`), the vectorized JAX pipeline
+(`aswstereomatch_tpu.models.pipeline`), and the fused Pallas kernels
+(`aswstereomatch_tpu.ops.pallas`) must agree bit-for-bit in f32 on the same
+config (tests enforce this).
+
+Capability parity note (SURVEY.md section 2.1 "Parameter block"): the reference
+(ZhangYY12345/aswStereoMatch, C++/OpenCV; mount empty at survey time, see
+SURVEY.md section 0) carries a compiled-in parameter struct with window size,
+disparity range, gamma_c / gamma_p, truncations tau1/tau2, blend alpha and an
+LR tolerance.  ``StereoConfig`` is the TPU-native equivalent, extended with
+mesh / tiling fields the single-process reference has no analog for
+(SURVEY.md section 2.2).
+
+Pinned numeric conventions (all implementations MUST follow these):
+  - Images are float32 RGB in [0, 255], shape (H, W, 3).
+  - Grayscale: Rec.601, ``0.299 R + 0.587 G + 0.114 B`` (matches cv2 RGB2GRAY).
+  - x-gradient: central difference ``g(x) = I(x+1) - I(x-1)`` on grayscale with
+    replicate border (matches ``cv2.Sobel(..., ksize=1)`` + BORDER_REPLICATE).
+  - Right-image sampling at ``x - d``: x-index clamped to [0, W-1] (replicate).
+  - AD cost: per-pixel mean over RGB channels of ``|L_c(x) - R_c(x-d)|``.
+  - TAD+grad cost: ``alpha * min(AD, tau1) + (1-alpha) * min(|gL - gR|, tau2)``.
+  - Box aggregation: mean over the (2r+1)^2 window, replicate border.
+  - ASW weights (Yoon-Kweon TPAMI 2006): CIELab color distance, D65, sRGB
+    gamma; ``w(p,q) = exp(-dLab(p,q)/gamma_c - deuclid(p,q)/gamma_p)``;
+    symmetric two-view product ``wL * wR`` unless ``asw_symmetric=False``.
+  - WTA: first-occurrence argmin over d.
+  - Subpixel: parabola ``d* = d - (C+ - C-)/(2 (C+ - 2 C0 + C-))``, offset
+    clamped to [-0.5, 0.5], only applied for 0 < d < D-1 and |denom| > 1e-6.
+  - Right disparity by volume reuse: ``C_R(x, d) = C_L(min(x+d, W-1), d)``.
+  - LR check: valid iff ``x - round(dL) >= 0`` and
+    ``|dL(x) - dR(x - round(dL(x)))| <= lr_tol``.
+  - Fill: per-row, each invalid pixel takes ``min(nearest valid to the left,
+    nearest valid to the right)`` (background bias); one-sided at row edges.
+  - Median: 3x3 median on the float disparity map, replicate border, last.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class StereoConfig:
+    """Frozen parameter block for one stereo-matching run.
+
+    Mirrors (and supersedes) the reference's compiled-in parameter struct
+    (SURVEY.md section 2.1); adds the TPU mesh / tiling configuration.
+    """
+
+    # ---- geometry -----------------------------------------------------------
+    max_disparity: int = 64            # D: candidate disparities are [0, D)
+    # ---- cost (L2 in SURVEY section 1) --------------------------------------
+    cost: str = "tad_grad"             # "ad" | "tad_grad"
+    tau_color: float = 40.0            # tau1: truncation of the color AD term
+    tau_grad: float = 10.0             # tau2: truncation of the gradient term
+    alpha: float = 0.9                 # blend: alpha*AD + (1-alpha)*grad
+    # ---- aggregation (L3) ---------------------------------------------------
+    aggregation: str = "asw"           # "none" | "box" | "asw"
+    window_radius: int = 16            # r: window is (2r+1) x (2r+1)
+    gamma_color: float = 14.0          # gamma_c: Lab color bandwidth (ASW)
+    gamma_spatial: float = 31.0        # gamma_p: spatial bandwidth (ASW)
+    asw_symmetric: bool = True         # two-view (wL*wR) vs left-only weights
+    # ---- post-processing (L5) ----------------------------------------------
+    lr_check: bool = True
+    lr_tol: float = 1.0                # max |dL - dR| to accept a pixel
+    fill_holes: bool = True
+    subpixel: bool = True
+    median_filter: bool = True         # final 3x3 median
+    # ---- numerics -----------------------------------------------------------
+    compute_dtype: str = "float32"     # accumulation dtype for cost/weights
+    # ---- parallelism (SURVEY section 2.2; no reference analog) --------------
+    mesh_data: int = 1                 # chips along the batch ("data") axis
+    mesh_tile: int = 1                 # chips along the spatial ("tile") axis
+    tile_axis: str = "y"               # image axis sharded by "tile": "y"|"x"
+    disparity_shards: int = 1          # optional TP-analog split of the D axis
+    # ---- backend selection --------------------------------------------------
+    backend: str = "auto"              # "auto" | "jnp" | "pallas"
+
+    def __post_init__(self):
+        if self.cost not in ("ad", "tad_grad"):
+            raise ValueError(f"unknown cost {self.cost!r}")
+        if self.aggregation not in ("none", "box", "asw"):
+            raise ValueError(f"unknown aggregation {self.aggregation!r}")
+        if self.tile_axis not in ("y", "x"):
+            raise ValueError(f"tile_axis must be 'y' or 'x'")
+        if self.max_disparity < 1:
+            raise ValueError("max_disparity must be >= 1")
+        if self.window_radius < 0:
+            raise ValueError("window_radius must be >= 0")
+        if self.backend not in ("auto", "jnp", "pallas"):
+            raise ValueError(f"unknown backend {self.backend!r}")
+
+    # -- derived --------------------------------------------------------------
+    @property
+    def window_size(self) -> int:
+        return 2 * self.window_radius + 1
+
+    @property
+    def halo_y(self) -> int:
+        """Rows of image halo a y-tile needs on each side for exact tiling.
+
+        window_radius for aggregation + 1 for the final 3x3 median.  The cost
+        stage (central-difference x-gradient) has no y extent.
+        """
+        r = self.window_radius if self.aggregation != "none" else 0
+        return r + (1 if self.median_filter else 0)
+
+    @property
+    def halo_x(self) -> Tuple[int, int]:
+        """(left, right) columns of halo an x-tile needs on the *left* image.
+
+        The right image additionally needs ``max_disparity`` extra columns of
+        left-halo (matching window reaches x - D + 1); see
+        ``parallel/tiling.py``.
+        """
+        r = (self.window_radius if self.aggregation != "none" else 0) + 1
+        m = 1 if self.median_filter else 0
+        return (r + m, r + m)
+
+    def config_hash(self) -> str:
+        """Stable short hash for observability / manifest keys."""
+        payload = json.dumps(dataclasses.asdict(self), sort_keys=True)
+        return hashlib.sha256(payload.encode()).hexdigest()[:12]
+
+    def replace(self, **kw) -> "StereoConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# The five BASELINE.json configs, pinned as named presets (SURVEY section 5
+# "Config / flag system").  Geometry of the datasets:
+#   Tsukuba 384x288 D=16; Venus/Teddy/Cones 450x375 D=64; KITTI 1242x375 D=128.
+# ---------------------------------------------------------------------------
+
+PRESETS = {
+    # BASELINE config 1: "Tsukuba (384x288, D=16), AD cost + fixed-window
+    # aggregation - CPU-runnable PR1 ref"
+    "tsukuba_ad_box": StereoConfig(
+        max_disparity=16,
+        cost="ad",
+        aggregation="box",
+        window_radius=4,
+        lr_check=False,
+        fill_holes=False,
+        subpixel=False,
+        median_filter=False,
+    ),
+    # BASELINE config 2: "Venus/Teddy/Cones (450x375, D=64) with full
+    # TAD+gradient cost and ASW aggregation"
+    "middlebury_asw": StereoConfig(
+        max_disparity=64,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        lr_check=False,
+        fill_holes=False,
+        subpixel=False,
+        median_filter=False,
+    ),
+    # BASELINE config 3: "ASW with large support windows (33x33) + LR
+    # consistency and subpixel refine on Middlebury full set"
+    "middlebury_asw_full": StereoConfig(
+        max_disparity=64,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+    ),
+    # BASELINE config 4: "KITTI stereo pair (1242x375, D=128), tiled cost
+    # volume with halo exchange on one host"
+    "kitti_tiled": StereoConfig(
+        max_disparity=128,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+        mesh_tile=4,
+    ),
+    # BASELINE config 5: "Batched KITTI sequence throughput (batch>=16 pairs)
+    # sharded across N>=2 hosts"
+    "kitti_batch": StereoConfig(
+        max_disparity=128,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+        mesh_data=2,
+        mesh_tile=4,
+    ),
+}
+
+
+def get_preset(name: str) -> StereoConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {sorted(PRESETS)}"
+        ) from None

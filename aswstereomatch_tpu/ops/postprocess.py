@@ -1,0 +1,77 @@
+"""Post-processing (SURVEY.md section 1, L5) in JAX.
+
+Left-right consistency via cost-volume reuse (C_R(x,d) = C_L(x+d,d),
+SURVEY.md section 3.3), hole filling with background bias, and a final 3x3
+median — all static-shape, scan-free formulations:
+
+  - the LR gather ``dispR[x - round(dispL)]`` is a take_along_axis along x;
+  - nearest-valid-left/right fill uses running maximums of valid indices
+    (``lax.cummax``-style) instead of a sequential scan, so it vectorizes and
+    tiles trivially (rows are independent — the pinned spec is per-row).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import StereoConfig
+
+
+def right_volume(vol: jnp.ndarray) -> jnp.ndarray:
+    """C_R(x, d) = C_L(min(x + d, W-1), d).  vol: (H, W, D)."""
+    h, w, D = vol.shape
+    x = jnp.arange(w)[:, None]
+    d = jnp.arange(D)[None, :]
+    idx = jnp.minimum(x + d, w - 1)  # (W, D)
+    return jnp.take_along_axis(vol, jnp.broadcast_to(idx[None], (h, w, D)), axis=1)
+
+
+def lr_check(
+    disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig
+) -> jnp.ndarray:
+    """Validity mask per the pinned spec.  Inputs are (H, W) float or int."""
+    h, w = disp_l.shape
+    dl = disp_l.astype(jnp.float32)
+    xr = jnp.arange(w)[None, :] - jnp.round(dl).astype(jnp.int32)
+    in_range = (xr >= 0) & (xr < w)
+    xr_c = jnp.clip(xr, 0, w - 1)
+    dr = jnp.take_along_axis(disp_r.astype(jnp.float32), xr_c, axis=1)
+    return in_range & (jnp.abs(dl - dr) <= cfg.lr_tol)
+
+
+def fill_holes(disp: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Invalid pixels take min(nearest valid left, nearest valid right).
+
+    Per-row; one-sided at row edges; rows with no valid pixel fill with 0.
+    """
+    h, w = disp.shape
+    x = jnp.arange(w)[None, :]
+    big = jnp.float32(jnp.inf)
+
+    # Index of nearest valid pixel at or to the left (-1 if none).
+    li = lax.cummax(jnp.where(valid, x, -1), axis=1)
+    # Nearest valid at or to the right (w if none): same trick on the
+    # x-reversed mask, then map reversed indices back.
+    li_rev = lax.cummax(jnp.where(valid[:, ::-1], x, -1), axis=1)
+    ri = (w - 1) - li_rev[:, ::-1]  # "none" (-1) maps to w
+
+    dl = jnp.take_along_axis(disp.astype(jnp.float32), jnp.clip(li, 0, w - 1), axis=1)
+    dl = jnp.where(li >= 0, dl, big)
+    dr = jnp.take_along_axis(disp.astype(jnp.float32), jnp.clip(ri, 0, w - 1), axis=1)
+    dr = jnp.where(ri <= w - 1, dr, big)
+
+    fill = jnp.minimum(dl, dr)
+    fill = jnp.where(jnp.isinf(fill), 0.0, fill)
+    return jnp.where(valid, disp.astype(jnp.float32), fill)
+
+
+def median3(disp: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median, replicate border — final smoothing stage."""
+    pad = jnp.pad(disp, ((1, 1), (1, 1)), mode="edge")
+    h, w = disp.shape
+    taps = jnp.stack(
+        [pad[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)],
+        axis=-1,
+    )
+    return jnp.sort(taps, axis=-1)[..., 4].astype(jnp.float32)

@@ -1,0 +1,32 @@
+"""Winner-take-all disparity selection + subpixel refinement (L4/L5).
+
+Per the pinned spec (config.py): first-occurrence argmin over d; parabola
+subpixel ``d* = d - (C+ - C-) / (2 (C+ - 2 C0 + C-))`` with the offset clamped
+to [-0.5, 0.5], applied only for 0 < d < D-1 and |denom| > 1e-6.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..config import StereoConfig
+
+
+def wta(vol: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, D) -> int32 (H, W) argmin (first minimum wins, like np.argmin)."""
+    return jnp.argmin(vol, axis=-1).astype(jnp.int32)
+
+
+def subpixel(vol: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """Parabola refinement around the integer winner.  vol: (H, W, D)."""
+    D = vol.shape[-1]
+    d = disp.astype(jnp.int32)
+    dm = jnp.clip(d - 1, 0, D - 1)
+    dp = jnp.clip(d + 1, 0, D - 1)
+    take = lambda idx: jnp.take_along_axis(vol, idx[..., None], axis=-1)[..., 0]
+    c0, cm, cp = take(d), take(dm), take(dp)
+    denom = cp - 2.0 * c0 + cm
+    off = (cp - cm) / (2.0 * denom)
+    off = jnp.clip(off, -0.5, 0.5)
+    ok = (d > 0) & (d < D - 1) & (jnp.abs(denom) > 1e-6)
+    return jnp.where(ok, d.astype(jnp.float32) - off, d.astype(jnp.float32))

@@ -1,0 +1,122 @@
+"""Stage-by-stage parity: vectorized JAX ops vs the literal NumPy oracle.
+
+The oracle (models/oracle_numpy.py) is the in-repo golden (SURVEY.md section
+4.1); every jnp stage must match it to f32 tolerance on small images, and the
+integer/argmin stages must match exactly.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aswstereomatch_tpu.config import StereoConfig
+from aswstereomatch_tpu.models import oracle_numpy as oracle
+from aswstereomatch_tpu.models import pipeline
+from aswstereomatch_tpu.ops import aggregate, cost, postprocess, preprocess, wta
+
+def J(fn, **static):
+    """Jit with config bound statically — eager dispatch is pathologically slow
+    in this environment, so every jnp-path call in tests goes through jit."""
+    return jax.jit(functools.partial(fn, **static))
+
+
+CFG_AD = StereoConfig(max_disparity=12, cost="ad", aggregation="box", window_radius=3,
+                      lr_check=False, fill_holes=False, subpixel=False, median_filter=False)
+CFG_TAD = StereoConfig(max_disparity=12, cost="tad_grad", aggregation="asw",
+                       window_radius=4, gamma_color=14.0, gamma_spatial=9.0)
+CFG_ASW_LEFT = CFG_TAD.replace(asw_symmetric=False)
+
+
+def test_gradient_matches_oracle(small_pair):
+    g_o = oracle.gray_and_grad(small_pair["left"])[1]
+    g_j = J(lambda im: preprocess.x_gradient(preprocess.rgb_to_gray(im)))(jnp.asarray(small_pair["left"]))
+    np.testing.assert_allclose(np.asarray(g_j), g_o, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize("cfg", [CFG_AD, CFG_TAD], ids=["ad", "tad_grad"])
+def test_cost_volume_matches_oracle(small_pair, cfg):
+    v_o = oracle.cost_volume(small_pair["left"], small_pair["right"], cfg)
+    v_j = J(cost.cost_volume, cfg=cfg)(
+        jnp.asarray(small_pair["left"]), jnp.asarray(small_pair["right"])
+    )
+    np.testing.assert_allclose(np.asarray(v_j), v_o, rtol=1e-5, atol=1e-3)
+
+
+def test_box_aggregation_matches_oracle(small_pair):
+    v = oracle.cost_volume(small_pair["left"], small_pair["right"], CFG_AD)
+    a_o = oracle.aggregate_box(v, CFG_AD)
+    a_j = J(aggregate.aggregate_box, cfg=CFG_AD)(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=1e-5, atol=1e-3)
+
+
+@pytest.mark.parametrize(
+    "cfg", [CFG_TAD, CFG_ASW_LEFT], ids=["symmetric", "left_only"]
+)
+def test_asw_aggregation_matches_oracle(small_pair, cfg):
+    left, right = small_pair["left"], small_pair["right"]
+    v = oracle.cost_volume(left, right, cfg)
+    a_o = oracle.aggregate_asw(v, left, right, cfg)
+    a_j = J(aggregate.aggregate_asw, cfg=cfg)(jnp.asarray(left), jnp.asarray(right))
+    np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=2e-4, atol=2e-3)
+
+
+def test_wta_subpixel_match_oracle(small_pair):
+    v = oracle.cost_volume(small_pair["left"], small_pair["right"], CFG_TAD)
+    d_o = oracle.wta(v)
+    d_j = J(wta.wta)(jnp.asarray(v))
+    np.testing.assert_array_equal(np.asarray(d_j), d_o)
+    s_o = oracle.subpixel(v, d_o)
+    s_j = J(wta.subpixel)(jnp.asarray(v), d_j)
+    np.testing.assert_allclose(np.asarray(s_j), s_o, rtol=1e-5, atol=1e-4)
+
+
+def test_right_volume_and_lr_match_oracle(small_pair):
+    cfg = CFG_TAD
+    v = oracle.cost_volume(small_pair["left"], small_pair["right"], cfg)
+    vr_o = oracle.right_volume(v)
+    vr_j = J(postprocess.right_volume)(jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(vr_j), vr_o, rtol=1e-6, atol=1e-5)
+    dl = oracle.wta(v).astype(np.float32)
+    dr = oracle.wta(vr_o).astype(np.float32)
+    m_o = oracle.lr_check(dl, dr, cfg)
+    m_j = J(postprocess.lr_check, cfg=cfg)(jnp.asarray(dl), jnp.asarray(dr))
+    np.testing.assert_array_equal(np.asarray(m_j), m_o)
+
+
+def test_fill_and_median_match_oracle(small_pair):
+    rng = np.random.default_rng(0)
+    disp = rng.uniform(0, 12, size=(17, 23)).astype(np.float32)
+    valid = rng.random((17, 23)) > 0.35
+    valid[3] = False  # a fully-invalid row exercises the 0-fill path
+    f_o = oracle.fill_holes(disp, valid)
+    f_j = J(postprocess.fill_holes)(jnp.asarray(disp), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(f_j), f_o, rtol=1e-6, atol=1e-6)
+    m_o = oracle.median3(f_o)
+    m_j = J(postprocess.median3)(jnp.asarray(f_o))
+    np.testing.assert_allclose(np.asarray(m_j), m_o, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "cfg",
+    [
+        CFG_AD,
+        CFG_TAD,
+        CFG_TAD.replace(lr_check=False, fill_holes=False),
+        CFG_TAD.replace(subpixel=False, median_filter=False),
+    ],
+    ids=["ad_box", "asw_full", "asw_nopost", "asw_nosubpix"],
+)
+def test_full_pipeline_matches_oracle(small_pair, cfg):
+    left, right = small_pair["left"], small_pair["right"]
+    d_o = oracle.match_pair(left, right, cfg)
+    d_j = np.asarray(J(pipeline.match_pair, cfg=cfg)(jnp.asarray(left), jnp.asarray(right)))
+    # Aggregated costs differ at f32 rounding level between the two
+    # implementations, which can flip a WTA winner on near-ties; demand
+    # near-universal agreement and tiny bad-delta instead of bit equality.
+    agree = np.mean(np.abs(d_j - d_o) <= 0.51)
+    assert agree > 0.995, f"pipeline disagreement: {1 - agree:.4%}"
+    bad2 = np.mean(np.abs(d_j - d_o) > 2.0)
+    assert bad2 < 0.002, f"bad-2.0 vs oracle: {bad2:.4%}"
