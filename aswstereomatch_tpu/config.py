@@ -74,8 +74,10 @@ class StereoConfig:
     fill_holes: bool = True
     subpixel: bool = True
     median_filter: bool = True         # final 3x3 median
-    # ---- numerics -----------------------------------------------------------
+    # ---- numerics / memory --------------------------------------------------
     compute_dtype: str = "float32"     # accumulation dtype for cost/weights
+    y_chunks: int = 1                  # >1: stream row bands sequentially per
+                                       # device (bounds peak HBM; bit-exact)
     # ---- parallelism (SURVEY section 2.2; no reference analog) --------------
     mesh_data: int = 1                 # chips along the batch ("data") axis
     mesh_tile: int = 1                 # chips along the spatial ("tile") axis

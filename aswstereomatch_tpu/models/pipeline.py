@@ -25,6 +25,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..config import StereoConfig, get_preset
 from ..ops import aggregate, cost, postprocess, wta
@@ -42,8 +43,8 @@ def aggregated_volume(
     return vol
 
 
-def _postprocess_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """WTA + subpixel + LR + fill + median from an aggregated volume."""
+def disp_pre_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+    """WTA + subpixel + LR + fill (everything row-local; no median)."""
     disp_i = wta.wta(vol)
     disp = (
         wta.subpixel(vol, disp_i) if cfg.subpixel else disp_i.astype(jnp.float32)
@@ -58,9 +59,79 @@ def _postprocess_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray
             disp = postprocess.fill_holes(disp, valid)
         else:
             disp = jnp.where(valid, disp, -1.0).astype(jnp.float32)
+    return disp.astype(jnp.float32)
+
+
+def _postprocess_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+    """WTA + subpixel + LR + fill + median from an aggregated volume."""
+    disp = disp_pre_from_volume(vol, cfg)
     if cfg.median_filter:
         disp = postprocess.median3(disp)
-    return disp.astype(jnp.float32)
+    return disp
+
+
+def tile_disparity(
+    left_ext: jnp.ndarray,
+    right_ext: jnp.ndarray,
+    cfg: StereoConfig,
+    halo: int,
+    rows: int,
+    true_h: int,
+    start,
+) -> jnp.ndarray:
+    """Disparity for one row band given halo-extended image tiles.
+
+    Shared by the shard_map tiled path (parallel/tiling.py, ``start`` is the
+    traced ``axis_index * rows``) and the sequential chunked path below
+    (``start`` is the chunk offset).  The band's final 3x3 median taps rows
+    by *global-row-clamped* index so true-boundary rows reproduce the untiled
+    edge clamp exactly — the tiled==untiled bit-exactness hinges on this.
+
+    left_ext/right_ext: (halo + rows + halo, W[, 3]); returns (rows, W).
+    """
+    vol = aggregated_volume(left_ext, right_ext, cfg)
+    disp = disp_pre_from_volume(vol, cfg)
+    if not cfg.median_filter:
+        return disp[halo : halo + rows]
+    g = start - 1 + jnp.arange(rows + 2)  # global rows: owned +-1
+    g = jnp.clip(g, 0, true_h - 1)
+    local = jnp.clip(g - (start - halo), 0, disp.shape[0] - 1)
+    med_in = jnp.take(disp, local, axis=0)  # (rows + 2, W)
+    return postprocess.median3(med_in)[1 : 1 + rows]
+
+
+def match_pair_chunked(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+) -> jnp.ndarray:
+    """Single-device memory-streaming mode: process cfg.y_chunks row bands
+    sequentially (lax.map), bounding peak HBM by ~1/y_chunks.
+
+    Bit-identical to the unchunked pipeline (same machinery as the sharded
+    tiles); this is how KITTI-scale volumes fit one chip on the non-Pallas
+    path, where the (H, W, w^2) weight planes would otherwise exceed HBM.
+    """
+    h, w = left.shape[:2]
+    n = cfg.y_chunks
+    halo = cfg.halo_y
+    pad = (-h) % n
+    widths = [(0, pad)] + [(0, 0)] * (left.ndim - 1)
+    lp = jnp.pad(left, widths, mode="edge")
+    rp = jnp.pad(right, widths, mode="edge")
+    rows = lp.shape[0] // n
+    if rows < halo:
+        raise ValueError(f"{rows} rows/chunk < halo {halo}; reduce y_chunks")
+    hw = [(halo, halo)] + [(0, 0)] * (left.ndim - 1)
+    lp = jnp.pad(lp, hw, mode="edge")
+    rp = jnp.pad(rp, hw, mode="edge")
+
+    def chunk(i):
+        start = i * rows
+        l_ext = lax.dynamic_slice_in_dim(lp, start, rows + 2 * halo, axis=0)
+        r_ext = lax.dynamic_slice_in_dim(rp, start, rows + 2 * halo, axis=0)
+        return tile_disparity(l_ext, r_ext, cfg, halo, rows, h, start)
+
+    bands = lax.map(chunk, jnp.arange(n))  # (n, rows, W)
+    return bands.reshape(n * rows, w)[:h]
 
 
 def _resolve_backend(cfg: StereoConfig) -> str:
@@ -82,8 +153,10 @@ def match_pair(
         from ..ops.pallas import asw_kernel
 
         vol = asw_kernel.aggregated_volume(left, right, cfg)
-    else:
-        vol = aggregated_volume(left, right, cfg)
+        return _postprocess_from_volume(vol, cfg)
+    if cfg.y_chunks > 1:
+        return match_pair_chunked(left, right, cfg)
+    vol = aggregated_volume(left, right, cfg)
     return _postprocess_from_volume(vol, cfg)
 
 

@@ -1,0 +1,200 @@
+"""Spatial tiling with halo exchange — the sequence-parallel analog.
+
+The BASELINE north star requires "rectified stereo pairs sharded as image
+tiles with halo exchange across a multi-host TPU pod slice".  This module
+shards the image row (y) axis over the mesh "tile" axis under ``shard_map``:
+
+  - y-tiling is the preferred layout (SURVEY.md section 7 "weak scaling"):
+    every stage's x-dependencies (cost x-d access, LR gather, per-row hole
+    fill) stay shard-local, so the only communication is a ring ``ppermute``
+    of ``halo_y = window_radius (+1 for median)`` image rows per neighbor —
+    independent of D.  x-tiling would additionally move a D_max-wide strip of
+    the right image.
+
+  - Exactness invariant (tested): tiled output == untiled output
+    **bit-for-bit**.  Three mechanisms make this hold:
+      1. boundary shards overwrite their missing halo with edge-replicated
+         rows, which reproduces the untiled replicate-border taps exactly;
+      2. each shard computes disparity for its rows plus one extra row per
+         side, so the final 3x3 median sees real neighbors;
+      3. the median's input rows are indexed by *global-row-clamped* indices,
+         reproducing the untiled edge clamp at the true image boundary (also
+         what makes bottom-padding to a row-multiple exact for real rows).
+
+All collective choreography is here; the per-tile compute is the unchanged
+single-device pipeline (models/pipeline.py) — same ops, same f32 order.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import StereoConfig
+from ..models import pipeline
+from . import mesh as mesh_lib
+
+
+def _halo_rows(cfg: StereoConfig) -> int:
+    """Image rows of halo each side (see StereoConfig.halo_y)."""
+    return cfg.halo_y
+
+
+def _exchange_halos(block: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """Concatenate neighbor halos onto a row block: (rows, ...) ->
+    (halo + rows + halo, ...).  Boundary shards take edge-replicated rows."""
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+    if n == 1:
+        top = jnp.repeat(block[:1], halo, axis=0)
+        bot = jnp.repeat(block[-1:], halo, axis=0)
+        return jnp.concatenate([top, block, bot], axis=0)
+    # shard i's bottom rows become shard i+1's top halo, and vice versa.
+    from_above = lax.ppermute(
+        block[-halo:], axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_below = lax.ppermute(
+        block[:halo], axis, [(i, i - 1) for i in range(1, n)]
+    )
+    edge_top = jnp.repeat(block[:1], halo, axis=0)
+    edge_bot = jnp.repeat(block[-1:], halo, axis=0)
+    from_above = jnp.where(idx == 0, edge_top, from_above)
+    from_below = jnp.where(idx == n - 1, edge_bot, from_below)
+    return jnp.concatenate([from_above, block, from_below], axis=0)
+
+
+def _match_tile(
+    left_ext: jnp.ndarray,
+    right_ext: jnp.ndarray,
+    cfg: StereoConfig,
+    halo: int,
+    rows: int,
+    true_h: int,
+    axis: str,
+) -> jnp.ndarray:
+    """Owned-row disparity for one shard's halo-extended tile.
+
+    Thin wrapper over the shared band computation (pipeline.tile_disparity)
+    with the band offset taken from the shard's mesh position.
+    """
+    start = lax.axis_index(axis) * rows  # global index of first owned row
+    return pipeline.tile_disparity(
+        left_ext, right_ext, cfg, halo, rows, true_h, start
+    )
+
+
+def match_pair_tiled(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    device_mesh: Mesh,
+) -> jnp.ndarray:
+    """Single pair, y-sharded over the mesh "tile" axis.  Jit-friendly.
+
+    Pads H to a multiple of the tile count (bottom, edge rows) and trims;
+    real rows are bit-identical to the untiled pipeline.
+    """
+    axis = mesh_lib.TILE_AXIS
+    n = device_mesh.shape[axis]
+    h = left.shape[0]
+    pad = (-h) % n
+    if pad:
+        widths = [(0, pad)] + [(0, 0)] * (left.ndim - 1)
+        left = jnp.pad(left, widths, mode="edge")
+        right = jnp.pad(right, widths, mode="edge")
+    rows = left.shape[0] // n
+    halo = _halo_rows(cfg)
+    if rows < halo:
+        raise ValueError(
+            f"{rows} rows/shard < halo {halo}; use fewer tile shards"
+        )
+
+    img_spec = P(axis) if left.ndim == 2 else P(axis, None, None)
+
+    @functools.partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(img_spec, img_spec),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def run(l_blk, r_blk):
+        l_ext = _exchange_halos(l_blk, halo, axis)
+        r_ext = _exchange_halos(r_blk, halo, axis)
+        return _match_tile(l_ext, r_ext, cfg, halo, rows, h, axis)
+
+    out = run(left, right)
+    return out[:h]
+
+
+def match_batch_sharded(
+    lefts: jnp.ndarray,
+    rights: jnp.ndarray,
+    cfg: StereoConfig,
+    device_mesh: Mesh,
+) -> jnp.ndarray:
+    """Batched throughput mode: batch over "data" x rows over "tile".
+
+    (B, H, W[, 3]) inputs; the batch axis shards over DCN-friendly "data"
+    (no intra-step collectives), rows over "tile" (ICI halo exchange).
+    """
+    axis = mesh_lib.TILE_AXIS
+    daxis = mesh_lib.DATA_AXIS
+    nd = device_mesh.shape[daxis]
+    nt = device_mesh.shape[axis]
+    b, h = lefts.shape[0], lefts.shape[1]
+    if b % nd:
+        raise ValueError(f"batch {b} not divisible by data axis {nd}")
+    pad = (-h) % nt
+    if pad:
+        widths = [(0, 0), (0, pad)] + [(0, 0)] * (lefts.ndim - 2)
+        lefts = jnp.pad(lefts, widths, mode="edge")
+        rights = jnp.pad(rights, widths, mode="edge")
+    rows = lefts.shape[1] // nt
+    halo = _halo_rows(cfg)
+    if rows < halo:
+        raise ValueError(
+            f"{rows} rows/shard < halo {halo}; use fewer tile shards"
+        )
+
+    spec = (
+        P(daxis, axis) if lefts.ndim == 3 else P(daxis, axis, None, None)
+    )
+
+    @functools.partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(spec, spec),
+        out_specs=P(daxis, axis, None),
+        check_vma=False,
+    )
+    def run(l_blk, r_blk):
+        # Halo exchange carries the whole local batch in one collective.
+        l_ext = _exchange_halos(jnp.moveaxis(l_blk, 1, 0), halo, axis)
+        r_ext = _exchange_halos(jnp.moveaxis(r_blk, 1, 0), halo, axis)
+        l_ext = jnp.moveaxis(l_ext, 0, 1)
+        r_ext = jnp.moveaxis(r_ext, 0, 1)
+        fn = lambda l, r: _match_tile(l, r, cfg, halo, rows, h, axis)
+        return jax.vmap(fn)(l_ext, r_ext)
+
+    out = run(lefts, rights)
+    return out[:, :h]
+
+
+def shard_batch_arrays(arrays, device_mesh: Mesh):
+    """device_put a pytree of (B, H, ...) arrays with data x tile sharding."""
+    def put(a):
+        spec = (
+            P(mesh_lib.DATA_AXIS, mesh_lib.TILE_AXIS)
+            if a.ndim <= 3
+            else P(mesh_lib.DATA_AXIS, mesh_lib.TILE_AXIS, None, None)
+        )
+        return jax.device_put(a, NamedSharding(device_mesh, spec))
+
+    return jax.tree_util.tree_map(put, arrays)

@@ -1,0 +1,202 @@
+"""Benchmark harness — emits ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): stereo pairs/sec/chip at KITTI resolution
+(1242x375, D=128) running the full ASW pipeline (TAD+gradient cost, 33x33
+symmetric adaptive support weights, WTA + LR + fill + subpixel + median).
+
+``vs_baseline``: the reference repo publishes no numbers and its source was
+unavailable (SURVEY.md section 0), so the baseline is *measured here*: a
+vectorized NumPy implementation of the same symmetric-ASW pipeline (the
+reference is single-process CPU code of exactly this class) timed on this
+machine on a small crop and extrapolated linearly in window-aggregation work
+(H*W*D*w^2 — the O() the algorithm is bound by).  The measurement is cached
+in bench_results/cpu_baseline.json.
+
+Usage: python bench.py [--preset kitti|middlebury|tsukuba] [--iters N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+
+import numpy as np
+
+BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_results")
+
+# Headline geometry (BASELINE config 4 class).
+GEOM = {
+    "kitti": dict(
+        height=375, width=1242, max_disparity=128, window_radius=16, y_chunks=8
+    ),
+    "middlebury": dict(height=375, width=450, max_disparity=64, window_radius=16),
+    "tsukuba": dict(height=288, width=384, max_disparity=16, window_radius=16),
+}
+
+
+def _work(height, width, max_disparity, window_radius, **_):
+    return height * width * max_disparity * (2 * window_radius + 1) ** 2
+
+
+def _numpy_asw_reference_rate() -> float:
+    """pairs/s of a reference-class CPU ASW at KITTI geometry (extrapolated).
+
+    Vectorized NumPy symmetric ASW on a small crop — generously faster than
+    the reference's scalar C++ loops — extrapolated by aggregation work.
+    """
+    cache = os.path.join(BENCH_DIR, "cpu_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["kitti_pairs_per_s"]
+
+    from aswstereomatch_tpu.utils import synthetic, colorspace
+
+    h, w, D, r = 96, 128, 16, 8
+    pair = synthetic.make_pair(height=h, width=w, max_disparity=D, seed=0)
+    left, right = pair["left"], pair["right"]
+    lab_l = colorspace.rgb_to_lab(left, np)
+    lab_r = colorspace.rgb_to_lab(right, np)
+    gray_l = colorspace.rgb_to_gray(left, np)
+    gray_r = colorspace.rgb_to_gray(right, np)
+    t0 = time.perf_counter()
+    pad = lambda a, yy, xx: np.pad(
+        a, [(max(yy, 0), max(-yy, 0)), (max(xx, 0), max(-xx, 0))][: a.ndim]
+        + [(0, 0)] * (a.ndim - 2), mode="edge",
+    )
+    num = np.zeros((h, w, D), np.float32)
+    den = np.zeros((h, w, D), np.float32)
+    xs = np.arange(w)
+    # cost planes
+    cost = np.empty((h, w, D), np.float32)
+    for d in range(D):
+        xr = np.maximum(xs - d, 0)
+        ad = np.abs(left - right[:, xr]).mean(-1)
+        gd = np.abs(gray_l - gray_r[:, xr])
+        cost[..., d] = 0.9 * np.minimum(ad, 40.0) + 0.1 * np.minimum(gd, 10.0)
+    labr_sh = [lab_r[:, np.maximum(xs - d, 0)] for d in range(D)]
+    for wy in range(-r, r + 1):
+        for wx in range(-r, r + 1):
+            sd = np.exp(-np.hypot(wy, wx) / 31.0).astype(np.float32)
+            # left weight plane
+            yy = np.clip(np.arange(h) + wy, 0, h - 1)
+            xx = np.clip(xs + wx, 0, w - 1)
+            dl = np.sqrt(((lab_l - lab_l[yy][:, xx]) ** 2).sum(-1))
+            wl = np.exp(-dl / 14.0) * sd
+            ctap = cost[yy][:, xx]
+            for d in range(D):
+                lr_ = labr_sh[d]
+                dr_ = np.sqrt(((lr_ - lr_[yy][:, xx]) ** 2).sum(-1))
+                wgt = wl * np.exp(-dr_ / 14.0) * sd
+                num[..., d] += wgt * ctap[..., d]
+                den[..., d] += wgt
+    _ = np.argmin(num / den, axis=-1)
+    dt = time.perf_counter() - t0
+    rate_crop = 1.0 / dt
+    scale = _work(h, w, D, r) / _work(**GEOM["kitti"])
+    rate = rate_crop * scale
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    with open(cache, "w") as f:
+        json.dump(
+            {
+                "kitti_pairs_per_s": rate,
+                "crop_seconds": dt,
+                "crop_geom": [h, w, D, r],
+                "note": "vectorized NumPy symmetric ASW, extrapolated by H*W*D*w^2",
+            },
+            f,
+            indent=2,
+        )
+    return rate
+
+
+def run_bench(preset: str, iters: int, save: bool = True) -> dict:
+    import jax
+    from aswstereomatch_tpu.config import StereoConfig
+    from aswstereomatch_tpu.models import pipeline
+    from aswstereomatch_tpu.utils import synthetic
+
+    g = GEOM[preset]
+    cfg = StereoConfig(
+        max_disparity=g["max_disparity"],
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=g["window_radius"],
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+        # jnp path at KITTI scale needs row streaming to fit HBM (the fused
+        # Pallas kernel needs none of this).
+        y_chunks=g.get("y_chunks", 1),
+    )
+    pair = synthetic.make_pair(
+        height=g["height"], width=g["width"], max_disparity=g["max_disparity"], seed=0
+    )
+    import jax.numpy as jnp
+
+    left = jnp.asarray(pair["left"])
+    right = jnp.asarray(pair["right"])
+    fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+
+    def run_blocking(l, r):
+        # jax.block_until_ready does not actually block under the axon TPU
+        # tunnel (returns in ~0.2ms for 500ms of compute); a scalar fetch
+        # forces real completion.
+        out = fn(l, r)
+        float(out[0, 0])
+        return out
+
+    t0 = time.perf_counter()
+    run_blocking(left, right)
+    compile_s = time.perf_counter() - t0
+    run_blocking(left, right)  # warm queue drain
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run_blocking(left, right)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rate = 1.0 / best
+    base = _numpy_asw_reference_rate() * (
+        _work(**GEOM["kitti"]) / _work(**g)
+    )
+    result = {
+        "metric": f"stereo pairs/s/chip, {preset} ({g['width']}x{g['height']}, "
+        f"D={g['max_disparity']}, ASW {2*g['window_radius']+1}x"
+        f"{2*g['window_radius']+1} symmetric + full postprocess)",
+        "value": round(rate, 4),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(rate / base, 2),
+    }
+    if save:
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        detail = dict(
+            result,
+            preset=preset,
+            best_s=best,
+            mean_s=float(np.mean(times)),
+            compile_s=compile_s,
+            iters=iters,
+            device=str(jax.devices()[0]),
+            backend_cfg_hash=cfg.config_hash(),
+            baseline_pairs_per_s=base,
+        )
+        with open(os.path.join(BENCH_DIR, f"bench_{preset}.json"), "w") as f:
+            json.dump(detail, f, indent=2)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="kitti", choices=sorted(GEOM))
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+    result = run_bench(args.preset, args.iters)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

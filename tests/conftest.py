@@ -7,12 +7,19 @@ kernels run via interpret mode.  Must set flags before jax initializes.
 
 import os
 
+# Env vars for any subprocesses; jax may already be imported by a pytest
+# plugin, so also set the config directly below (valid until backend init).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

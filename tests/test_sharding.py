@@ -1,0 +1,106 @@
+"""Sharding tests on 8 virtual CPU devices (SURVEY.md section 4.3).
+
+The load-bearing invariant: tiled output == untiled output **exactly**
+(bit-for-bit f32) — same ops in the same order by construction, halo
+exchange only changes where rows live.  Covers divisible and non-divisible
+heights (bottom padding), full post-processing on, data x tile batch mode,
+and halo-too-small validation.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aswstereomatch_tpu.config import StereoConfig
+from aswstereomatch_tpu.models import pipeline
+from aswstereomatch_tpu.parallel import mesh as mesh_lib
+from aswstereomatch_tpu.parallel import tiling
+from aswstereomatch_tpu.utils import synthetic
+
+
+def J(fn, **static):
+    return jax.jit(functools.partial(fn, **static))
+
+
+CFG_FULL = StereoConfig(
+    max_disparity=16, cost="tad_grad", aggregation="asw", window_radius=4,
+    gamma_color=14.0, gamma_spatial=9.0,
+    lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
+)
+CFG_BOX = StereoConfig(
+    max_disparity=16, cost="ad", aggregation="box", window_radius=4,
+    lr_check=False, fill_holes=False, subpixel=False, median_filter=True,
+)
+
+
+@pytest.fixture(scope="module")
+def pair96():
+    return synthetic.make_pair(height=96, width=64, max_disparity=16, seed=13)
+
+
+@pytest.mark.parametrize("cfg", [CFG_FULL, CFG_BOX], ids=["asw_full", "ad_box"])
+@pytest.mark.parametrize("ntile", [2, 4, 8])
+def test_tiled_equals_untiled_exactly(pair96, cfg, ntile):
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=ntile)
+    out = np.asarray(
+        J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_tiled_nondivisible_height_exact():
+    pair = synthetic.make_pair(height=94, width=64, max_disparity=16, seed=4)
+    left, right = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=CFG_FULL)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(
+        J(tiling.match_pair_tiled, cfg=CFG_FULL, device_mesh=m)(left, right)
+    )
+    assert out.shape == ref.shape == (94, 64)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_batch_sharded_matches_per_pair(pair96):
+    m = mesh_lib.build_mesh(data=2, tile=4)
+    pair2 = synthetic.make_pair(height=96, width=64, max_disparity=16, seed=77)
+    lefts = jnp.asarray(np.stack([pair96["left"], pair2["left"]]))
+    rights = jnp.asarray(np.stack([pair96["right"], pair2["right"]]))
+    outs = np.asarray(
+        J(tiling.match_batch_sharded, cfg=CFG_FULL, device_mesh=m)(lefts, rights)
+    )
+    for i in range(2):
+        ref = np.asarray(
+            J(pipeline.match_pair, cfg=CFG_FULL)(lefts[i], rights[i])
+        )
+        np.testing.assert_array_equal(outs[i], ref)
+
+
+def test_halo_too_small_raises(pair96):
+    m = mesh_lib.build_mesh(data=1, tile=8)
+    cfg = CFG_FULL.replace(window_radius=16)  # halo 17 > 12 rows/shard
+    with pytest.raises(ValueError, match="halo"):
+        tiling.match_pair_tiled(
+            jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"]), cfg, m
+        )
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.build_mesh(data=4, tile=4)
+
+
+def test_chunked_equals_unchunked_exactly(pair96):
+    """Memory-streaming y_chunks mode is bit-identical to one-shot."""
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=CFG_FULL)(left, right))
+    for n in (3, 4):
+        cfg = CFG_FULL.replace(y_chunks=n)
+        out = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+        np.testing.assert_array_equal(out, ref)
