@@ -17,21 +17,33 @@ mesh / tiling fields the single-process reference has no analog for
 (SURVEY.md section 2.2).
 
 Pinned numeric conventions (all implementations MUST follow these):
-  - Images are float32 RGB in [0, 255], shape (H, W, 3).
+  - Images are float32 RGB in [0, 255] on the 8-bit integer grid, (H, W, 3).
   - Grayscale: Rec.601, ``0.299 R + 0.587 G + 0.114 B`` (matches cv2 RGB2GRAY).
   - x-gradient: central difference ``g(x) = I(x+1) - I(x-1)`` on grayscale with
     replicate border (matches ``cv2.Sobel(..., ksize=1)`` + BORDER_REPLICATE).
-  - Right-image sampling at ``x - d``: x-index clamped to [0, W-1] (replicate).
-  - AD cost: per-pixel mean over RGB channels of ``|L_c(x) - R_c(x-d)|``.
-  - TAD+grad cost: ``alpha * min(AD, tau1) + (1-alpha) * min(|gL - gR|, tau2)``.
-  - Box aggregation: mean over the (2r+1)^2 window, replicate border.
+  - **Virtual padded-plane border semantics**: all out-of-image accesses read
+    edge-replicated (replicate-border) virtual planes with *unclamped
+    arithmetic indices* — conceptually ``Lp = pad_edge(left, r)`` in x/y and
+    ``Rp = pad_edge(right, (r + D - 1, r))`` in x — rather than re-clamping
+    composed coordinates.  This makes every access in every stage a pure
+    shift (no gathers), so the loop oracle, the vectorized jnp path and the
+    tiled Pallas kernels agree bit-for-bit by construction.
+  - AD cost: ``C(x, d) = mean_c |Lp_c(x) - Rp_c(x - d)|``, defined for the
+    x-extended domain ``x in [-r, W-1+r]`` that aggregation taps.
+  - TAD+grad cost: ``alpha * min(AD, tau1) + (1-alpha) * min(|gLp - gRp|, tau2)``.
+  - Box aggregation: mean over the (2r+1)^2 window; x taps hit the extended
+    cost domain, y taps the edge-replicated rows.
   - ASW weights (Yoon-Kweon TPAMI 2006): CIELab color distance, D65, sRGB
-    gamma; ``w(p,q) = exp(-dLab(p,q)/gamma_c - deuclid(p,q)/gamma_p)``;
-    symmetric two-view product ``wL * wR`` unless ``asw_symmetric=False``.
+    gamma; ``w(p,q) = exp(-dLab(p,q)/gamma_c - |p-q|_2/gamma_p)`` with the
+    spatial term from the *nominal* window offset; left weights from Lp,
+    right weights from Rp centered at ``x - d``; symmetric two-view product
+    ``wL * wR`` unless ``asw_symmetric=False``.
   - WTA: first-occurrence argmin over d.
   - Subpixel: parabola ``d* = d - (C+ - C-)/(2 (C+ - 2 C0 + C-))``, offset
     clamped to [-0.5, 0.5], only applied for 0 < d < D-1 and |denom| > 1e-6.
-  - Right disparity by volume reuse: ``C_R(x, d) = C_L(min(x+d, W-1), d)``.
+  - Right disparity by volume reuse: ``C_R(x', d) = C_L(x' + d, d)`` where
+    candidates with ``x' + d > W - 1`` are **excluded** from the argmin
+    (no left pixel exists for them).
   - LR check: valid iff ``x - round(dL) >= 0`` and
     ``|dL(x) - dR(x - round(dL(x)))| <= lr_tol``.
   - Fill: per-row, each invalid pixel takes ``min(nearest valid to the left,

@@ -36,44 +36,66 @@ def gray_and_grad(img: np.ndarray):
     return gray, grad
 
 
-def cost_volume(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.ndarray:
-    """Raw cost volume C[y, x, d] per the pinned AD / TAD+grad spec."""
+def _pad_x(arr: np.ndarray, left: int, right: int) -> np.ndarray:
+    widths = [(0, 0), (left, right)] + [(0, 0)] * (arr.ndim - 2)
+    return np.pad(arr, widths, mode="edge")
+
+
+def cost_volume_ext(
+    left: np.ndarray, right: np.ndarray, cfg: StereoConfig, rx: int
+) -> np.ndarray:
+    """Raw cost C[y, j, d] on the x-extended domain x in [-rx, W-1+rx].
+
+    Virtual padded-plane semantics (config.py): Lp edge-padded by rx,
+    Rp edge-padded by rx + D - 1 on the left / rx on the right; the cost at
+    extended column j (left x = j - rx) reads Rp at x - d unclamped.
+    """
     h, w = left.shape[:2]
     D = cfg.max_disparity
-    if left.ndim == 3:
-        lc, rc = left, right
-    else:
-        lc, rc = left[..., None], right[..., None]
+    lc = left if left.ndim == 3 else left[..., None]
+    rc = right if right.ndim == 3 else right[..., None]
     _, gl = gray_and_grad(left)
     _, gr = gray_and_grad(right)
-    vol = np.zeros((h, w, D), np.float32)
+    lp, gl_p = _pad_x(lc, rx, rx), _pad_x(gl, rx, rx)
+    rp, gr_p = _pad_x(rc, rx + D - 1, rx), _pad_x(gr, rx + D - 1, rx)
+    we = w + 2 * rx
+    vol = np.zeros((h, we, D), np.float32)
     for d in range(D):
-        for x in range(w):
-            xr = max(x - d, 0)  # clamp (replicate border)
-            ad = np.abs(lc[:, x, :] - rc[:, xr, :]).mean(axis=-1)
+        for j in range(we):
+            jr = j + (D - 1) - d  # right-plane index of x - d
+            ad = np.abs(lp[:, j, :] - rp[:, jr, :]).mean(axis=-1)
             if cfg.cost == "ad":
-                vol[:, x, d] = ad
+                vol[:, j, d] = ad
             else:
-                gd = np.abs(gl[:, x] - gr[:, xr])
-                vol[:, x, d] = cfg.alpha * np.minimum(
+                gd = np.abs(gl_p[:, j] - gr_p[:, jr])
+                vol[:, j, d] = cfg.alpha * np.minimum(
                     ad, cfg.tau_color
                 ) + (1.0 - cfg.alpha) * np.minimum(gd, cfg.tau_grad)
     return vol
 
 
-def aggregate_box(vol: np.ndarray, cfg: StereoConfig) -> np.ndarray:
-    """Mean over (2r+1)^2 window, replicate border."""
-    h, w, D = vol.shape
+def cost_volume(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.ndarray:
+    """Raw cost volume C[y, x, d] on the image domain."""
+    return cost_volume_ext(left, right, cfg, 0)
+
+
+def aggregate_box(vol_ext: np.ndarray, cfg: StereoConfig) -> np.ndarray:
+    """Mean over (2r+1)^2 window.  vol_ext: x-extended cost (H, W+2r, D).
+
+    x taps hit the extended domain unclamped; y taps the replicated rows
+    (equivalently: clamped, since cost is pointwise in y).
+    """
+    h, we, D = vol_ext.shape
     r = cfg.window_radius
-    out = np.zeros_like(vol)
+    w = we - 2 * r
+    out = np.zeros((h, w, D), np.float32)
     for y in range(h):
         for x in range(w):
             acc = np.zeros(D, np.float64)
             for wy in range(-r, r + 1):
                 for wx in range(-r, r + 1):
                     yy = min(max(y + wy, 0), h - 1)
-                    xx = min(max(x + wx, 0), w - 1)
-                    acc += vol[yy, xx]
+                    acc += vol_ext[yy, r + x + wx]
             out[y, x] = acc / float((2 * r + 1) ** 2)
     return out.astype(np.float32)
 
@@ -93,37 +115,42 @@ def asw_weight(
 
 
 def aggregate_asw(
-    vol: np.ndarray, left: np.ndarray, right: np.ndarray, cfg: StereoConfig
+    vol_ext: np.ndarray, left: np.ndarray, right: np.ndarray, cfg: StereoConfig
 ) -> np.ndarray:
     """Yoon-Kweon adaptive-support-weight aggregation, literal 5-loop form.
 
-    Replicate-border on window taps AND on the right-view center/taps
-    (x - d clamped to >= 0), matching the vectorized pipeline exactly.
+    Virtual padded-plane semantics: x-accesses index edge-padded planes with
+    unclamped arithmetic (left Lab padded by r; right Lab by r + D - 1 / r;
+    cost on the x-extended domain); y taps clamp (== replicated rows, cost
+    and weights being pointwise in y).  vol_ext: (H, W+2r, D).
     """
-    h, w, D = vol.shape
+    h, we, D = vol_ext.shape
     r = cfg.window_radius
-    lab_l = colorspace.rgb_to_lab(left, np)
-    lab_r = colorspace.rgb_to_lab(right, np)
-    out = np.zeros_like(vol)
+    w = we - 2 * r
+    lab_l = _pad_x(colorspace.rgb_to_lab(left, np), r, r)
+    lab_r = _pad_x(colorspace.rgb_to_lab(right, np), r + D - 1, r)
+    out = np.zeros((h, w, D), np.float32)
     for y in range(h):
         for x in range(w):
             for d in range(D):
-                xr = max(x - d, 0)  # right-view center (clamped)
+                jl = x + r            # center in lab_l
+                jr = x - d + r + D - 1  # center x-d in lab_r
                 num = 0.0
                 den = 0.0
                 for wy in range(-r, r + 1):
                     for wx in range(-r, r + 1):
                         yy = min(max(y + wy, 0), h - 1)
-                        xx = min(max(x + wx, 0), w - 1)
-                        wl = asw_weight(lab_l, y, x, yy, xx, wy, wx, cfg)
+                        wl = asw_weight(
+                            lab_l, y, jl, yy, jl + wx, wy, wx, cfg
+                        )
                         if cfg.asw_symmetric:
-                            yyr = yy
-                            xxr = min(max(xr + wx, 0), w - 1)
-                            wr_ = asw_weight(lab_r, y, xr, yyr, xxr, wy, wx, cfg)
+                            wr_ = asw_weight(
+                                lab_r, y, jr, yy, jr + wx, wy, wx, cfg
+                            )
                         else:
                             wr_ = 1.0
                         wgt = wl * wr_
-                        num += wgt * vol[yy, xx, d]
+                        num += wgt * vol_ext[yy, r + x + wx, d]
                         den += wgt
                 out[y, x, d] = num / den
     return out.astype(np.float32)
@@ -151,12 +178,17 @@ def subpixel(vol: np.ndarray, disp: np.ndarray) -> np.ndarray:
 
 
 def right_volume(vol: np.ndarray) -> np.ndarray:
-    """C_R(x, d) = C_L(min(x+d, W-1), d) (volume reuse, SURVEY section 3.3)."""
+    """C_R(x', d) = C_L(x'+d, d) by volume reuse (SURVEY section 3.3).
+
+    Candidates with x'+d > W-1 have no left pixel and are excluded from the
+    argmin (+inf), per the pinned spec.
+    """
     h, w, D = vol.shape
-    out = np.zeros_like(vol)
+    out = np.full_like(vol, np.inf)
     for d in range(D):
         for x in range(w):
-            out[:, x, d] = vol[:, min(x + d, w - 1), d]
+            if x + d <= w - 1:
+                out[:, x, d] = vol[:, x + d, d]
     return out
 
 
@@ -221,11 +253,17 @@ def median3(disp: np.ndarray) -> np.ndarray:
 
 def match_pair(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.ndarray:
     """End-to-end oracle: images -> float32 disparity map (SURVEY section 3.1)."""
-    vol = cost_volume(left, right, cfg)
     if cfg.aggregation == "box":
-        vol = aggregate_box(vol, cfg)
+        vol = aggregate_box(
+            cost_volume_ext(left, right, cfg, cfg.window_radius), cfg
+        )
     elif cfg.aggregation == "asw":
-        vol = aggregate_asw(vol, left, right, cfg)
+        vol = aggregate_asw(
+            cost_volume_ext(left, right, cfg, cfg.window_radius),
+            left, right, cfg,
+        )
+    else:
+        vol = cost_volume(left, right, cfg)
     disp_i = wta(vol)
     disp = subpixel(vol, disp_i) if cfg.subpixel else disp_i.astype(np.float32)
     if cfg.lr_check:

@@ -37,10 +37,10 @@ def aggregated_volume(
     """(H, W, D) aggregated cost volume per the configured cost/aggregation."""
     if cfg.aggregation == "asw":
         return aggregate.aggregate_asw(left, right, cfg)
-    vol = cost.cost_volume(left, right, cfg)
     if cfg.aggregation == "box":
-        vol = aggregate.aggregate_box(vol, cfg)
-    return vol
+        vol_ext = cost.cost_volume(left, right, cfg, x_extend=cfg.window_radius)
+        return aggregate.aggregate_box(vol_ext, cfg)
+    return cost.cost_volume(left, right, cfg)
 
 
 def disp_pre_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:

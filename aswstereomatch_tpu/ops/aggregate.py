@@ -1,24 +1,26 @@
 """Cost aggregation (SURVEY.md section 1, L3) in JAX.
 
-Two aggregators, per the reference's capability set (SURVEY.md section 2.1):
+Two aggregators, per the reference's capability set (SURVEY.md section 2.1),
+both under the pinned virtual padded-plane border semantics (config.py):
 
-  - ``aggregate_box``: fixed-window mean (the BASELINE config-1 path), via
-    edge-pad + ``lax.reduce_window`` — XLA lowers this to an efficient
-    separable sliding-window sum.
+  - ``aggregate_box``: fixed-window mean (the BASELINE config-1 path) —
+    x taps slide VALID over the x-extended cost, y taps over edge-replicated
+    rows, via ``lax.reduce_window``.
 
   - ``aggregate_asw``: Yoon-Kweon adaptive-support-weight bilateral
     aggregation (TPAMI 2006 section 3) with symmetric two-view weights — the
     algorithm the reference repo exists for (SURVEY.md section 3.2).  The
     structure exploits the two key facts from the survey: weights depend on
     the *images*, not the cost, so the left-weight planes are computed once
-    and reused across all d; the right weights are the same planes indexed at
-    x-d, realized as one edge-padded buffer + per-d dynamic slice inside a
-    ``lax.scan`` over disparities.  The raw cost is computed per-plane inside
-    the scan, so no unaggregated H*W*D volume is materialized.
+    and reused across all d; and the right weights are the same planes on the
+    x-extended right domain, indexed at x - d — a pure dynamic slice inside a
+    ``lax.scan`` over disparities.  Raw cost is computed per-plane inside the
+    scan, so no unaggregated H*W*D volume is materialized.
 
-This is the readable/verifiable implementation (it does materialize the
-(H, W, K^2) weight planes and the aggregated output volume in HBM); the fused
-Pallas kernel in ``ops/pallas`` is the speed-of-light path.
+This is the readable/verifiable implementation (it materializes (H, W, K^2)
+weight planes and the aggregated output volume in HBM); the fused Pallas
+kernel in ``ops/pallas`` shares its exact semantics and keeps everything in
+VMEM.
 """
 
 from __future__ import annotations
@@ -32,23 +34,30 @@ from . import cost as cost_ops
 from . import preprocess
 
 
-def _patches_2d(arr: jnp.ndarray, radius: int) -> jnp.ndarray:
-    """All (2r+1)^2 window taps of a 2D array with replicate border.
+def _patches_2d(arr: jnp.ndarray, radius: int, x_valid: bool = False) -> jnp.ndarray:
+    """All (2r+1)^2 window taps of a 2D array.
 
-    Returns (H, W, O) with offsets in row-major (wy, wx) order — the same
-    order the NumPy oracle's window loops use.
+    y: edge-replicate padding.  x: edge-replicate padding, or — when
+    ``x_valid`` — the array is already x-extended by ``radius`` per side and
+    taps slide VALID (output width = arr width - 2*radius).
+
+    Returns (H, W_out, O) with offsets in row-major (wy, wx) order, matching
+    the NumPy oracle's window loops.  Explicit static slices, NOT
+    conv_general_dilated_patches: the conv lowering computes in reduced
+    precision on some backends, which breaks bit-parity with the oracle.
     """
     k = 2 * radius + 1
-    h, w = arr.shape
-    pad = jnp.pad(arr, ((radius, radius), (radius, radius)), mode="edge")
-    # Explicit static slices, NOT conv_general_dilated_patches: the conv
-    # lowering computes in reduced precision on some backends (observed
-    # ~bf16-level error on XLA CPU here), which breaks bit-parity with the
-    # oracle.  Slices + stack are exact data movement.
+    h, w_in = arr.shape
+    if x_valid:
+        pad = jnp.pad(arr, ((radius, radius), (0, 0)), mode="edge")
+        w_out = w_in - 2 * radius
+    else:
+        pad = jnp.pad(arr, ((radius, radius), (radius, radius)), mode="edge")
+        w_out = w_in
     taps = [
-        pad[wy : wy + h, wx : wx + w] for wy in range(k) for wx in range(k)
+        pad[wy : wy + h, wx : wx + w_out] for wy in range(k) for wx in range(k)
     ]
-    return jnp.stack(taps, axis=-1)  # (H, W, O)
+    return jnp.stack(taps, axis=-1)  # (H, W_out, O)
 
 
 def _spatial_weights(cfg: StereoConfig) -> np.ndarray:
@@ -58,33 +67,36 @@ def _spatial_weights(cfg: StereoConfig) -> np.ndarray:
     return np.exp(-dist / cfg.gamma_spatial).astype(np.float32).reshape(-1)
 
 
-def _bilateral_planes(img: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """Per-pixel ASW weight planes w(p, p+o) for all window offsets o.
+def _bilateral_planes(
+    img: jnp.ndarray, cfg: StereoConfig, x_pad_left: int = 0, x_pad_right: int = 0
+) -> jnp.ndarray:
+    """Per-center ASW weight planes w(p, p+o) for all window offsets o.
 
-    Returns (H, W, O), O = (2r+1)^2.  w = exp(-dLab/gamma_c) * exp(-|o|/gamma_p).
+    Centers cover the x-extended domain [-x_pad_left, W-1+x_pad_right];
+    taps read the edge-padded virtual plane unclamped.  Returns
+    (H, W + x_pad_left + x_pad_right, O), O = (2r+1)^2.
     """
-    lab = preprocess.rgb_to_lab(img)
     r = cfg.window_radius
+    imgp = cost_ops._pad_x(img, x_pad_left + r, x_pad_right + r)
+    lab = preprocess.rgb_to_lab(imgp)
     d2 = None
     for c in range(3):
-        p = _patches_2d(lab[..., c], r)
-        diff = p - lab[..., c : c + 1]
+        p = _patches_2d(lab[..., c], r, x_valid=True)
+        diff = p - lab[..., r:-r, c : c + 1]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     dcolor = jnp.sqrt(d2)
     sw = jnp.asarray(_spatial_weights(cfg))
     return (jnp.exp(-dcolor / cfg.gamma_color) * sw).astype(jnp.float32)
 
 
-def aggregate_box(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """Mean over the (2r+1)^2 window, replicate border.  vol: (H, W, D)."""
+def aggregate_box(vol_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+    """Mean over the (2r+1)^2 window.  vol_ext: x-extended (H, W+2r, D)."""
     r = cfg.window_radius
     if r == 0:
-        return vol
+        return vol_ext
     k = 2 * r + 1
-    pad = jnp.pad(vol, ((r, r), (r, r), (0, 0)), mode="edge")
-    summed = lax.reduce_window(
-        pad, 0.0, lax.add, (k, k, 1), (1, 1, 1), "VALID"
-    )
+    pad = jnp.pad(vol_ext, ((r, r), (0, 0), (0, 0)), mode="edge")
+    summed = lax.reduce_window(pad, 0.0, lax.add, (k, k, 1), (1, 1, 1), "VALID")
     return (summed / float(k * k)).astype(jnp.float32)
 
 
@@ -93,27 +105,29 @@ def aggregate_asw(
 ) -> jnp.ndarray:
     """Full ASW-aggregated cost volume (H, W, D), fused cost construction.
 
-    Matches the oracle's aggregate_asw(cost_volume(...)) composition.
+    Matches the oracle's aggregate_asw(cost_volume_ext(...)) composition.
     """
     r = cfg.window_radius
     D = cfg.max_disparity
     h, w = left.shape[:2]
 
     wl = _bilateral_planes(left, cfg)  # (H, W, O)
-    lc, rc, gl, gr = cost_ops.precompute(left, right)
+    planes = cost_ops.precompute(left, right, cfg, x_extend=r)
 
     if cfg.asw_symmetric:
-        wr = _bilateral_planes(right, cfg)
-        # Pre-pad along x so step d can slice wr evaluated at clamp(x - d).
-        wr_pad = jnp.pad(wr, ((0, 0), (D - 1, 0), (0, 0)), mode="edge")
+        # Right-weight planes on centers x' in [-(D-1), W-1]; step d slices
+        # the window starting at (D-1) - d.
+        wr = _bilateral_planes(right, cfg, x_pad_left=D - 1)  # (H, W+D-1, O)
     else:
-        wr_pad = None
+        wr = None
+
+    O = wl.shape[-1]
 
     def step(_, d):
-        plane = cost_ops.cost_plane(lc, rc, gl, gr, d, cfg)  # (H, W)
-        taps = _patches_2d(plane, r)  # (H, W, O)
-        if wr_pad is not None:
-            wr_d = lax.dynamic_slice(wr_pad, (0, (D - 1) - d, 0), (h, w, wl.shape[-1]))
+        plane = cost_ops.cost_plane(planes, d, cfg)  # (H, W + 2r)
+        taps = _patches_2d(plane, r, x_valid=True)  # (H, W, O)
+        if wr is not None:
+            wr_d = lax.dynamic_slice(wr, (0, (D - 1) - d, 0), (h, w, O))
             wgt = wl * wr_d
         else:
             wgt = wl
@@ -121,5 +135,5 @@ def aggregate_asw(
         den = jnp.sum(wgt, axis=-1)
         return None, (num / den).astype(jnp.float32)
 
-    _, planes = lax.scan(step, None, jnp.arange(D))
-    return jnp.moveaxis(planes, 0, -1)  # (H, W, D)
+    _, out = lax.scan(step, None, jnp.arange(D))
+    return jnp.moveaxis(out, 0, -1)  # (H, W, D)

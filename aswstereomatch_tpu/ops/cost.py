@@ -1,21 +1,25 @@
 """Cost-volume construction (SURVEY.md section 1, L2) in JAX.
 
-Per the pinned spec (config.py):
-  AD:        C(x, y, d) = mean_c |L_c(x) - R_c(clamp(x-d))|
-  TAD+grad:  C = alpha * min(AD, tau1) + (1-alpha) * min(|gL - gR(x-d)|, tau2)
+Per the pinned spec (config.py, virtual padded-plane semantics):
+  AD:        C(x, d) = mean_c |Lp_c(x) - Rp_c(x - d)|
+  TAD+grad:  C = alpha * min(AD, tau1) + (1-alpha) * min(|gLp - gRp(x-d)|, tau2)
+defined on the x-extended domain x in [-rx, W-1+rx] that aggregation taps,
+where Lp/Rp are the edge-padded virtual planes (Rp by rx + D - 1 on the left).
 
-Two entry points:
-  - ``cost_plane``: one (H, W) slice for a single d — used by fused scans so
-    the H*W*D volume never has to exist (the fusion-mandatory point in
-    SURVEY.md section 6).
-  - ``cost_volume``: materialized (H, W, D) — reference path / box-filter
-    path / tests.
+Entry points:
+  - ``precompute(left, right, cfg, x_extend)``: padded color/gradient planes.
+  - ``cost_plane(..., d)``: one (H, W + 2*x_extend) slice for a single d —
+    used by fused scans so the H*W*D volume never exists (SURVEY section 6).
+  - ``cost_volume(left, right, cfg, x_extend=0)``: materialized volume.
 
-All ops are static-shape and elementwise; the x-d access is a static slice of
-a left-edge-padded right image, so XLA lowers everything to fused VPU code.
+All accesses are static/dynamic *slices* of the padded planes — no gathers —
+so XLA lowers everything to fused VPU code and the Pallas kernel can share
+the exact semantics with pure shifts.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 from jax import lax
@@ -24,56 +28,65 @@ from ..config import StereoConfig
 from . import preprocess
 
 
+class CostPlanes(NamedTuple):
+    lc: jnp.ndarray   # (H, W + 2*rx, C) left color, edge-padded by rx
+    rc: jnp.ndarray   # (H, W + 2*rx + D - 1, C) right color, padded rx+D-1 / rx
+    gl: jnp.ndarray   # (H, W + 2*rx) left x-gradient, same padding as lc
+    gr: jnp.ndarray   # like rc for the right x-gradient
+    x_extend: int
+
+
+def _pad_x(arr: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
+    widths = [(0, 0), (left, right)] + [(0, 0)] * (arr.ndim - 2)
+    return jnp.pad(arr, widths, mode="edge")
+
+
 def _as_chw(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W[, C]) -> (H, W, C) float32."""
     if img.ndim == 2:
         img = img[..., None]
     return img.astype(jnp.float32)
 
 
-def precompute(left: jnp.ndarray, right: jnp.ndarray):
-    """Shared per-pair tensors: color planes and x-gradients."""
-    lc, rc = _as_chw(left), _as_chw(right)
-    gl = preprocess.x_gradient(preprocess.rgb_to_gray(left))
-    gr = preprocess.x_gradient(preprocess.rgb_to_gray(right))
-    return lc, rc, gl, gr
+def precompute(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_extend: int = 0
+) -> CostPlanes:
+    """Edge-padded per-pair planes shared across disparities."""
+    D = cfg.max_disparity
+    lc = _pad_x(_as_chw(left), x_extend, x_extend)
+    rc = _pad_x(_as_chw(right), x_extend + D - 1, x_extend)
+    gl = _pad_x(preprocess.x_gradient(preprocess.rgb_to_gray(left)), x_extend, x_extend)
+    gr = _pad_x(
+        preprocess.x_gradient(preprocess.rgb_to_gray(right)), x_extend + D - 1, x_extend
+    )
+    return CostPlanes(lc, rc, gl, gr, x_extend)
 
 
-def _shift_right_image(arr: jnp.ndarray, d, max_d: int) -> jnp.ndarray:
-    """arr(y, clamp(x - d)) for scalar d (traced ok), via edge pad + slice.
-
-    arr: (H, W) or (H, W, C).  Pads max_d-1 columns of edge values on the
-    left once; a dynamic slice then selects the d-shifted view.
-    """
-    pad_w = max_d - 1
-    if pad_w == 0:
-        return arr
-    widths = [(0, 0), (pad_w, 0)] + [(0, 0)] * (arr.ndim - 2)
-    pad = jnp.pad(arr, widths, mode="edge")
-    start = [0, pad_w - d] + [0] * (arr.ndim - 2)
-    return lax.dynamic_slice(pad, start, arr.shape)
-
-
-def cost_plane(lc, rc, gl, gr, d, cfg: StereoConfig) -> jnp.ndarray:
-    """(H, W) raw cost for one disparity d (python int or traced scalar)."""
-    rs = _shift_right_image(rc, d, cfg.max_disparity)
-    ad = jnp.abs(lc - rs).mean(axis=-1)
+def cost_plane(planes: CostPlanes, d, cfg: StereoConfig) -> jnp.ndarray:
+    """(H, W + 2*x_extend) raw cost for disparity d (python int or traced)."""
+    D = cfg.max_disparity
+    h, we = planes.gl.shape
+    start = (D - 1) - d
+    rs = lax.dynamic_slice(
+        planes.rc, (0, start, 0), (h, we, planes.rc.shape[2])
+    )
+    ad = jnp.abs(planes.lc - rs).mean(axis=-1)
     if cfg.cost == "ad":
         return ad.astype(jnp.float32)
-    gs = _shift_right_image(gr, d, cfg.max_disparity)
-    gd = jnp.abs(gl - gs)
+    gs = lax.dynamic_slice(planes.gr, (0, start), (h, we))
     out = cfg.alpha * jnp.minimum(ad, cfg.tau_color) + (1.0 - cfg.alpha) * jnp.minimum(
-        gd, cfg.tau_grad
+        jnp.abs(planes.gl - gs), cfg.tau_grad
     )
     return out.astype(jnp.float32)
 
 
-def cost_volume(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """Materialized (H, W, D) raw cost volume."""
-    lc, rc, gl, gr = precompute(left, right)
+def cost_volume(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig, x_extend: int = 0
+) -> jnp.ndarray:
+    """Materialized (H, W + 2*x_extend, D) raw cost volume."""
+    planes = precompute(left, right, cfg, x_extend)
 
     def step(_, d):
-        return None, cost_plane(lc, rc, gl, gr, d, cfg)
+        return None, cost_plane(planes, d, cfg)
 
-    _, planes = lax.scan(step, None, jnp.arange(cfg.max_disparity))
-    return jnp.moveaxis(planes, 0, -1)  # (H, W, D)
+    _, out = lax.scan(step, None, jnp.arange(cfg.max_disparity))
+    return jnp.moveaxis(out, 0, -1)

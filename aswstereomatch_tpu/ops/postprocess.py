@@ -19,12 +19,17 @@ from ..config import StereoConfig
 
 
 def right_volume(vol: jnp.ndarray) -> jnp.ndarray:
-    """C_R(x, d) = C_L(min(x + d, W-1), d).  vol: (H, W, D)."""
+    """C_R(x', d) = C_L(x' + d, d) by volume reuse; candidates with
+    x' + d > W - 1 have no left pixel and are excluded (+inf).  vol: (H, W, D).
+    """
     h, w, D = vol.shape
     x = jnp.arange(w)[:, None]
     d = jnp.arange(D)[None, :]
-    idx = jnp.minimum(x + d, w - 1)  # (W, D)
-    return jnp.take_along_axis(vol, jnp.broadcast_to(idx[None], (h, w, D)), axis=1)
+    idx = x + d  # (W, D)
+    gathered = jnp.take_along_axis(
+        vol, jnp.broadcast_to(jnp.minimum(idx, w - 1)[None], (h, w, D)), axis=1
+    )
+    return jnp.where(idx[None] <= w - 1, gathered, jnp.inf).astype(jnp.float32)
 
 
 def lr_check(

@@ -50,7 +50,10 @@ def test_box_filter_matches_cv2(medium_pair):
     r = 4
     cfg = StereoConfig(max_disparity=8, aggregation="box", window_radius=r)
     vol = np.random.default_rng(0).random((40, 48, 8)).astype(np.float32)
-    ours = np.asarray(J(aggregate.aggregate_box, cfg=cfg)(jnp.asarray(vol)))
+    # aggregate_box takes the x-extended cost; edge-extending a plane and
+    # sliding VALID in x is exactly cv2's BORDER_REPLICATE.
+    vol_ext = np.pad(vol, ((0, 0), (r, r), (0, 0)), mode="edge")
+    ours = np.asarray(J(aggregate.aggregate_box, cfg=cfg)(jnp.asarray(vol_ext)))
     for d in range(vol.shape[-1]):
         ref = cv2.boxFilter(
             vol[..., d], -1, (2 * r + 1, 2 * r + 1),
@@ -71,19 +74,23 @@ def opencv_ad_box_pipeline(left, right, max_d, radius):
     """BASELINE config-1 pipeline composed purely of OpenCV primitives.
 
     This is the executable 'OpenCV reference' the BASELINE acceptance metric
-    compares against: AD color cost (clamped x-d), normalized boxFilter
-    aggregation with replicate border, first-min WTA.
+    compares against: replicate-border virtual planes via cv2.copyMakeBorder
+    (the pinned padded-plane semantics), AD color cost, normalized boxFilter
+    aggregation, first-min WTA.
     """
     h, w = left.shape[:2]
+    r = radius
+    lp = cv2.copyMakeBorder(left, 0, 0, r, r, cv2.BORDER_REPLICATE)
+    rp = cv2.copyMakeBorder(right, 0, 0, r + max_d - 1, r, cv2.BORDER_REPLICATE)
     vol = np.empty((h, w, max_d), np.float32)
-    xs = np.arange(w)
     for d in range(max_d):
-        xr = np.maximum(xs - d, 0)
-        ad = np.abs(left - right[:, xr]).mean(axis=-1).astype(np.float32)
-        vol[..., d] = cv2.boxFilter(
-            ad, -1, (2 * radius + 1, 2 * radius + 1),
+        sh = rp[:, (max_d - 1 - d) : (max_d - 1 - d) + w + 2 * r]
+        ad = np.abs(lp - sh).mean(axis=-1).astype(np.float32)
+        agg = cv2.boxFilter(
+            ad, -1, (2 * r + 1, 2 * r + 1),
             normalize=True, borderType=cv2.BORDER_REPLICATE,
         )
+        vol[..., d] = agg[:, r:-r] if r else agg
     return np.argmin(vol, axis=-1).astype(np.float32)
 
 

@@ -46,7 +46,9 @@ def test_cost_volume_matches_oracle(small_pair, cfg):
 
 
 def test_box_aggregation_matches_oracle(small_pair):
-    v = oracle.cost_volume(small_pair["left"], small_pair["right"], CFG_AD)
+    v = oracle.cost_volume_ext(
+        small_pair["left"], small_pair["right"], CFG_AD, CFG_AD.window_radius
+    )
     a_o = oracle.aggregate_box(v, CFG_AD)
     a_j = J(aggregate.aggregate_box, cfg=CFG_AD)(jnp.asarray(v))
     np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=1e-5, atol=1e-3)
@@ -57,7 +59,7 @@ def test_box_aggregation_matches_oracle(small_pair):
 )
 def test_asw_aggregation_matches_oracle(small_pair, cfg):
     left, right = small_pair["left"], small_pair["right"]
-    v = oracle.cost_volume(left, right, cfg)
+    v = oracle.cost_volume_ext(left, right, cfg, cfg.window_radius)
     a_o = oracle.aggregate_asw(v, left, right, cfg)
     a_j = J(aggregate.aggregate_asw, cfg=cfg)(jnp.asarray(left), jnp.asarray(right))
     np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=2e-4, atol=2e-3)
