@@ -139,9 +139,31 @@ def _resolve_backend(cfg: StereoConfig) -> str:
         return cfg.backend
     from ..ops.pallas import asw_kernel  # local import: optional path
 
-    if asw_kernel.supports(cfg):
+    if asw_kernel.supports(cfg) and jax.default_backend() == "tpu":
         return "pallas"
     return "jnp"
+
+
+def _postprocess_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
+    """Post-process the fused kernel's online-WTA outputs (no volume)."""
+    disp_i = outs["bestd"]
+    if cfg.subpixel:
+        disp = wta.subpixel_from_triple(
+            disp_i, outs["bestc"], outs["cm"], outs["cp"], cfg.max_disparity
+        )
+    else:
+        disp = disp_i.astype(jnp.float32)
+    if cfg.lr_check:
+        valid = postprocess.lr_check(
+            disp_i.astype(jnp.float32), outs["rbestd"].astype(jnp.float32), cfg
+        )
+        if cfg.fill_holes:
+            disp = postprocess.fill_holes(disp, valid)
+        else:
+            disp = jnp.where(valid, disp, -1.0).astype(jnp.float32)
+    if cfg.median_filter:
+        disp = postprocess.median3(disp)
+    return disp.astype(jnp.float32)
 
 
 def match_pair(
@@ -152,8 +174,8 @@ def match_pair(
     if backend == "pallas":
         from ..ops.pallas import asw_kernel
 
-        vol = asw_kernel.aggregated_volume(left, right, cfg)
-        return _postprocess_from_volume(vol, cfg)
+        outs = asw_kernel.wta_outputs(left, right, cfg)
+        return _postprocess_from_wta(outs, cfg)
     if cfg.y_chunks > 1:
         return match_pair_chunked(left, right, cfg)
     vol = aggregated_volume(left, right, cfg)

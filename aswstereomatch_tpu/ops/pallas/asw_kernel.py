@@ -1,20 +1,455 @@
-"""Fused Pallas TPU kernel for cost + ASW aggregation (placeholder).
+"""Fused Pallas TPU kernel: cost + ASW aggregation + dual-view WTA.
 
-Filled in by the kernel milestone (SURVEY.md section 7, PR3): one kernel per
-(y, x) tile that computes the raw cost on the fly from VMEM-resident image
-tiles, applies Yoon-Kweon weights with the left planes cached across d, and
-aggregates per-disparity slabs without materializing H*W*D in HBM.
+This is the hot path the framework exists for (SURVEY.md sections 3.2/7 PR3;
+reference analog: the 5-deep C++ loop in aggregateASW + the separate WTA /
+right-view passes).  One kernel invocation per (TY, TX) output tile does,
+entirely in VMEM:
+
+  1. builds the raw TAD+gradient (or AD) cost for all D disparities over the
+     tile + aggregation halo — from image patches, on the fly;
+  2. runs Yoon-Kweon adaptive-support-weight aggregation with symmetric
+     two-view weights: for each window row dy, the left/right bilateral
+     weight planes are built once (exp amortized across all d) and the
+     (dy, d, dx) accumulation loop is pure VPU mul-add on (TY, TX) vregs;
+  3. tracks the running winner-take-all ONLINE for both views — left per
+     pixel (with the (C[d*-1], C[d*], C[d*+1]) parabola triple for subpixel)
+     and right view via the volume-reuse identity C_R(x', d) = C_L(x'+d, d),
+     accumulated at lane offset (D-1-d) into a TX+D-1 wide partial buffer.
+
+The H*W*D aggregated volume never exists anywhere: HBM sees only image
+patches in and six (TY, TX)-sized planes per tile out (SURVEY section 6:
+KITTI volume is 238 MB, VMEM is ~16 MB — fusion is mandatory).
+
+Border semantics are the pinned virtual padded-plane rules (config.py), so
+every access is a static or dynamic *slice* — no gathers — and results match
+the jnp path to f32-reduction-order tolerance (and the Pallas path is
+bit-deterministic across tilings, since per-pixel accumulation order is
+position-independent).
+
+Right-view partials overlap across x-tiles (a right pixel x' receives
+candidates d from the tiles owning left pixels x'+d); ``_combine_right``
+merges them with (cost, then lower-d, then lower-tile) ordering, reproducing
+first-occurrence argmin exactly.
 """
 
 from __future__ import annotations
 
+import functools
+import math
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from ...config import StereoConfig
+from .. import preprocess
+
+# Output-tile geometry: one f32 vreg (8 sublanes x 128 lanes) per plane op.
+TILE_Y = 8
+TILE_X = 128
+
+
+def _ru128(n: int) -> int:
+    """Round lane-dimension sizes up to a vreg multiple: Mosaic's dynamic
+    rotates (and efficient layouts generally) need 128-aligned lanes."""
+    return -(-n // 128) * 128
+
+
+def _lane_window(x, start, size: int):
+    """x[..., start : start + size] with a *traced* start.
+
+    Mosaic only allows dynamic lane-dim slices at 128-aligned offsets, so
+    this uses a dynamic lane rotate (tpu.dynamic_rotate) + static slice:
+    roll right by (L - start) puts x[start] at lane 0.  Requires
+    start + size <= L (no wraparound into the window).
+    """
+    L = x.shape[-1]
+    shift = lax.rem(jnp.int32(L) - start.astype(jnp.int32), jnp.int32(L))
+    rolled = pltpu.roll(x, shift, axis=x.ndim - 1)
+    return rolled[..., :size]
+
+
+def _row_window(x, start, size: int):
+    """x[start : start + size, :] (2D) with a traced start, via a dynamic
+    sublane rotate + static slice (same Mosaic alignment constraint as
+    lanes).  Requires start + size <= x.shape[0]."""
+    L = x.shape[0]
+    shift = lax.rem(jnp.int32(L) - start.astype(jnp.int32), jnp.int32(L))
+    rolled = pltpu.roll(x, shift, axis=0)
+    return rolled[:size]
 
 
 def supports(cfg: StereoConfig) -> bool:
-    """Whether the fused kernel covers this config on this platform."""
-    return False
+    """The fused kernel covers the ASW configs (both weight modes, both
+    costs).  Box/none aggregation stays on the (already fast) jnp path."""
+    return cfg.aggregation == "asw"
 
 
-def aggregated_volume(left, right, cfg: StereoConfig):  # pragma: no cover
-    raise NotImplementedError("pallas ASW kernel lands in the PR3 milestone")
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _spatial_weights_np(cfg: StereoConfig) -> np.ndarray:
+    r = cfg.window_radius
+    wy, wx = np.mgrid[-r : r + 1, -r : r + 1]
+    d = np.sqrt((wy**2 + wx**2).astype(np.float64))
+    return np.exp(-d / cfg.gamma_spatial).astype(np.float32)
+
+
+def _channel_stack(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W[,3]) image -> (7, H, W): RGB, x-gradient, Lab."""
+    if img.ndim == 2:
+        rgb = jnp.stack([img] * 3, axis=0).astype(jnp.float32)
+    else:
+        rgb = jnp.moveaxis(img.astype(jnp.float32), -1, 0)
+    gray = preprocess.rgb_to_gray(img)
+    grad = preprocess.x_gradient(gray)[None]
+    lab = jnp.moveaxis(preprocess.rgb_to_lab(img), -1, 0)
+    return jnp.concatenate([rgb, grad, lab], axis=0)
+
+
+def _extract_tiles(stack: jnp.ndarray, ny, nx, ty, tx, ph, pw) -> jnp.ndarray:
+    """(7, Hp, Wp) padded stack -> (ny*nx, 7, ph, pw) overlapping patches."""
+    def get(t):
+        iy, ix = t // nx, t % nx
+        return lax.dynamic_slice(stack, (0, iy * ty, ix * tx), (7, ph, pw))
+
+    return jax.vmap(get)(jnp.arange(ny * nx))
+
+
+def _kernel(
+    lpatch_ref,  # (1, 7, PH, PWL)
+    rpatch_ref,  # (1, 7, PH, PWR)
+    sw_ref,      # (K, K) spatial weights (pallas constants must be inputs)
+    bestc_ref,   # (1, TY, TX) f32
+    bestd_ref,   # (1, TY, TX) i32
+    cm_ref,      # (1, TY, TX) f32  cost at best-1
+    cp_ref,      # (1, TY, TX) f32  cost at best+1
+    rbestc_ref,  # (1, TY, TXR) f32 right-view partial
+    rbestd_ref,  # (1, TY, TXR) i32
+    cost_sc,     # (D, PH, PWL) f32 scratch
+    num_sc,      # (D, TY, TX)
+    den_sc,      # (D, TY, TX)
+    slrow_sc,    # (K, TY, TX)
+    srrow_sc,    # (K, TY, TXR)
+    prev_sc,     # (TY, TX)
+    *,
+    cfg: StereoConfig,
+    nx: int,
+    width: int,
+):
+    r = cfg.window_radius
+    K = 2 * r + 1
+    D = cfg.max_disparity
+    TY, TX = TILE_Y, TILE_X
+    TXR = _ru128(TX + D - 1)
+    PH = TY + 2 * r
+    PWL = _ru128(TX + 2 * r)
+    sym = cfg.asw_symmetric
+
+    # ---- 1. cost tensor over tile + halo, all disparities -------------------
+    l_rgb0 = lpatch_ref[0, 0]
+    l_rgb1 = lpatch_ref[0, 1]
+    l_rgb2 = lpatch_ref[0, 2]
+    l_grad = lpatch_ref[0, 3]
+
+    def cost_body(d, _):
+        sh = (D - 1) - d
+        rsh = lambda c: _lane_window(rpatch_ref[0, c], sh, PWL)
+        ad = (
+            jnp.abs(l_rgb0 - rsh(0))
+            + jnp.abs(l_rgb1 - rsh(1))
+            + jnp.abs(l_rgb2 - rsh(2))
+        ) * np.float32(1.0 / 3.0)
+        if cfg.cost == "ad":
+            plane = ad
+        else:
+            gd = jnp.abs(l_grad - rsh(3))
+            plane = np.float32(cfg.alpha) * jnp.minimum(
+                ad, np.float32(cfg.tau_color)
+            ) + np.float32(1.0 - cfg.alpha) * jnp.minimum(
+                gd, np.float32(cfg.tau_grad)
+            )
+        cost_sc[d] = plane.astype(jnp.float32)
+        return ()
+
+    lax.fori_loop(0, D, cost_body, (), unroll=False)
+
+    # ---- 2. init accumulators ----------------------------------------------
+    num_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
+    den_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
+
+    # ---- 3. weight rows + (dy, d, dx) accumulation -------------------------
+    _accumulate(
+        cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
+        slrow_sc, srrow_sc,
+    )
+
+    # ---- 4. online dual-view WTA + subpixel triple -------------------------
+    t = pl.program_id(0)
+    ix = t % nx
+    x0 = ix * TX
+    xg = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + x0
+    x_ok = xg <= (width - 1)  # padded left columns must not feed right view
+
+    bestc_ref[0] = jnp.full((TY, TX), jnp.inf, jnp.float32)
+    bestd_ref[0] = jnp.zeros((TY, TX), jnp.int32)
+    cm_ref[0] = jnp.zeros((TY, TX), jnp.float32)
+    cp_ref[0] = jnp.zeros((TY, TX), jnp.float32)
+    prev_sc[...] = jnp.zeros((TY, TX), jnp.float32)
+    rbestc_ref[0] = jnp.full((TY, TXR), jnp.inf, jnp.float32)
+    rbestd_ref[0] = jnp.zeros((TY, TXR), jnp.int32)
+
+    def wta_body(d, _):
+        agg = num_sc[d] / den_sc[d]  # (TY, TX)
+        # left view: pending C(d*+1) capture, then strict-< update
+        bd = bestd_ref[0]
+        bc = bestc_ref[0]
+        pend = bd == (d - 1)
+        cp_ref[0] = jnp.where(pend, agg, cp_ref[0])
+        better = agg < bc
+        cm_ref[0] = jnp.where(better, prev_sc[...], cm_ref[0])
+        bestc_ref[0] = jnp.where(better, agg, bc)
+        bestd_ref[0] = jnp.where(better, d, bd)
+        prev_sc[...] = agg
+        # right view: C_R(x - d, d) = agg(x); lands at lane offset D-1-d.
+        # Build a full-width candidate plane (inf outside [off, off+TX)) via
+        # a dynamic lane rotate, then min-update the whole buffer.
+        off = (D - 1) - d
+        agg_r = jnp.where(x_ok, agg, jnp.inf)
+        full = jnp.concatenate(
+            [agg_r, jnp.full((TY, TXR - TX), jnp.inf, jnp.float32)], axis=-1
+        )
+        shifted = pltpu.roll(full, off, axis=1)
+        rc = rbestc_ref[0]
+        rbetter = shifted < rc
+        rbestc_ref[0] = jnp.where(rbetter, shifted, rc)
+        rbestd_ref[0] = jnp.where(rbetter, d, rbestd_ref[0])
+        return ()
+
+    lax.fori_loop(0, D, wta_body, (), unroll=False)
+
+
+def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
+                slrow_sc, srrow_sc):
+    """fori over window rows dy; per row build the bilateral weight planes
+    once (exp amortized over all d), then fori over d with the unrolled dx
+    accumulation — pure (TY, TX)-vreg mul-adds."""
+    r = cfg.window_radius
+    K = 2 * r + 1
+    D = cfg.max_disparity
+    TY, TX = TILE_Y, TILE_X
+    TXR = _ru128(TX + D - 1)
+    sym = cfg.asw_symmetric
+    inv_gc = np.float32(1.0 / cfg.gamma_color)
+
+    # Window centers (read once): left Lab over the tile, right Lab over the
+    # extended right-center span x' in [x0-(D-1), x1].
+    cl = [lpatch_ref[0, 4 + c, r : r + TY, r : r + TX] for c in range(3)]
+    cr = (
+        [rpatch_ref[0, 4 + c, r : r + TY, r : r + TXR] for c in range(3)]
+        if sym
+        else None
+    )
+
+    def dy_body(dy, _):
+        swr = sw_ref[pl.ds(dy, 1), :][0]  # (K,) this window row's weights
+        # Row blocks [dy, dy+TY) of each Lab channel (dynamic sublane rotate).
+        lrow = [
+            _row_window(lpatch_ref[0, 4 + c], dy, TY) for c in range(3)
+        ]  # 3 x (TY, PWL)
+        if sym:
+            rrow = [
+                _row_window(rpatch_ref[0, 4 + c], dy, TY) for c in range(3)
+            ]  # 3 x (TY, PWR)
+        for dx in range(K):
+            d2 = jnp.zeros((TY, TX), jnp.float32)
+            for c in range(3):
+                diff = lrow[c][:, dx : dx + TX] - cl[c]
+                d2 = d2 + diff * diff
+            slrow_sc[dx] = jnp.exp(-jnp.sqrt(d2) * inv_gc) * swr[dx]
+            if sym:
+                d2r = jnp.zeros((TY, TXR), jnp.float32)
+                for c in range(3):
+                    diffr = rrow[c][:, dx : dx + TXR] - cr[c]
+                    d2r = d2r + diffr * diffr
+                srrow_sc[dx] = jnp.exp(-jnp.sqrt(d2r) * inv_gc) * swr[dx]
+
+        def d_body(d, _):
+            crow = _row_window(cost_sc[d], dy, TY)  # (TY, PWL) value
+            num = num_sc[d]
+            den = den_sc[d]
+            if sym:
+                off = (D - 1) - d
+                srs = _lane_window(srrow_sc[...], off, TX)  # (K, TY, TX)
+            for dx in range(K):
+                if sym:
+                    t_ = slrow_sc[dx] * srs[dx]
+                else:
+                    t_ = slrow_sc[dx]
+                num = num + t_ * crow[:, dx : dx + TX]
+                den = den + t_
+            num_sc[d] = num
+            den_sc[d] = den
+            return ()
+
+        lax.fori_loop(0, D, d_body, (), unroll=False)
+        return ()
+
+    lax.fori_loop(0, K, dy_body, (), unroll=False)
+
+
+def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
+    """Run the fused kernel over the image.
+
+    Returns dict with f32/i32 (H, W) planes:
+      bestd, bestc, cm, cp  — left-view integer WTA + parabola triple
+      rbestd                — right-view WTA (volume reuse), for the LR check
+    """
+    if not supports(cfg):
+        raise ValueError("pallas kernel requires aggregation='asw'")
+    H, W = left.shape[:2]
+    r = cfg.window_radius
+    D = cfg.max_disparity
+    TY, TX = TILE_Y, TILE_X
+    TXR = _ru128(TX + D - 1)
+    ny = math.ceil(H / TY)
+    nx = math.ceil(W / TX)
+    PH = TY + 2 * r
+    PWL = _ru128(TX + 2 * r)
+    # right patch must cover taps [dx, dx + TXR) for dx < 2r+1
+    PWR = _ru128(2 * r + TXR)
+    K = 2 * r + 1
+    T = ny * nx
+
+    # Padded channel stacks (virtual padded-plane semantics + alignment).
+    ls = _channel_stack(left)
+    rs = _channel_stack(right)
+    pad_y = (r, r + ny * TY - H)
+    # Left stack: tile ix reads cols [ix*TX, ix*TX + PWL); origin shifted by r.
+    lsp = jnp.pad(
+        ls, ((0, 0), pad_y, (r, (nx - 1) * TX + PWL - r - W)), mode="edge"
+    )
+    # Right stack: tile ix reads cols [ix*TX, ix*TX + PWR) in an origin
+    # shifted by r + D - 1.
+    rsp = jnp.pad(
+        rs,
+        ((0, 0), pad_y, (r + D - 1, (nx - 1) * TX + PWR - (r + D - 1) - W)),
+        mode="edge",
+    )
+    ltiles = _extract_tiles(lsp, ny, nx, TY, TX, PH, PWL)
+    rtiles = _extract_tiles(rsp, ny, nx, TY, TX, PH, PWR)
+
+    kern = functools.partial(_kernel, cfg=cfg, nx=nx, width=W)
+    out_shapes = [
+        jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # bestc
+        jax.ShapeDtypeStruct((T, TY, TX), jnp.int32),     # bestd
+        jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # cm
+        jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # cp
+        jax.ShapeDtypeStruct((T, TY, TXR), jnp.float32),  # rbestc
+        jax.ShapeDtypeStruct((T, TY, TXR), jnp.int32),    # rbestd
+    ]
+    in_specs = [
+        pl.BlockSpec((1, 7, PH, PWL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 7, PH, PWR), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    scratch = [
+        pltpu.VMEM((D, PH, PWL), jnp.float32),   # cost
+        pltpu.VMEM((D, TY, TX), jnp.float32),    # num
+        pltpu.VMEM((D, TY, TX), jnp.float32),    # den
+        pltpu.VMEM((K, TY, TX), jnp.float32),    # sl row
+        pltpu.VMEM((K, TY, TXR), jnp.float32),   # sr row
+        pltpu.VMEM((TY, TX), jnp.float32),       # prev agg plane
+    ]
+    flops_tile = K * K * D * TY * TX * (5 if cfg.asw_symmetric else 4)
+    bestc, bestd, cm, cp, rbestc, rbestd = pl.pallas_call(
+        kern,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=scratch,
+        interpret=_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=T * flops_tile,
+            bytes_accessed=T * (7 * PH * (PWL + PWR) + 6 * TY * TX) * 4,
+            transcendentals=T * K * K * (TY * (TX + TXR)),
+        ),
+    )(ltiles, rtiles, jnp.asarray(_spatial_weights_np(cfg)))
+
+    def assemble(tiles, w_tile):
+        # (T, TY, wt) -> (H, nx*wt) crop later per-use
+        a = tiles.reshape(ny, nx, TY, w_tile)
+        a = jnp.moveaxis(a, 2, 1).reshape(ny * TY, nx * w_tile)
+        return a
+
+    out = {
+        "bestd": assemble(bestd, TX)[:H, :W],
+        "bestc": assemble(bestc, TX)[:H, :W],
+        "cm": assemble(cm, TX)[:H, :W],
+        "cp": assemble(cp, TX)[:H, :W],
+    }
+    out["rbestd"] = _combine_right(rbestc, rbestd, ny, nx, H, W, D)
+    return out
+
+
+def _combine_right(rbestc, rbestd, ny, nx, H, W, D):
+    """Merge per-tile right-view partials into the (H, W) right disparity.
+
+    Tile ix's buffer covers right columns [ix*TX - (D-1), ix*TX + TX - 1];
+    column x' receives its low disparities (d in [0, x1-x']) from the tile
+    owning x' and higher d's from tiles to the right.  Merge preserves
+    first-occurrence argmin: later tiles only win on strictly smaller cost
+    (their candidates have strictly larger d).
+    """
+    TY, TX = TILE_Y, TILE_X
+    TXR = _ru128(TX + D - 1)
+    rc = rbestc.reshape(ny, nx, TY, TXR)
+    rd = rbestd.reshape(ny, nx, TY, TXR)
+    # own contribution: lanes [D-1, D-1+TX) are right cols [x0, x1]
+    best_c = rc[:, :, :, D - 1 : D - 1 + TX]
+    best_d = rd[:, :, :, D - 1 : D - 1 + TX]
+    n_nb = math.ceil((D - 1) / TX) if D > 1 else 0
+    inf = jnp.inf
+    for m in range(1, n_nb + 1):
+        # neighbor ix+m covers col x' at its lane k = x' - (ix+m)*TX + D-1
+        # = j - m*TX + D-1 for j in [0, TX); valid where k >= 0.
+        lo = D - 1 - m * TX  # k for j=0
+        nb_c = jnp.concatenate(
+            [rc[:, m:, :, :], jnp.full((ny, m, TY, TXR), inf, rc.dtype)], axis=1
+        )
+        nb_d = jnp.concatenate(
+            [rd[:, m:, :, :], jnp.zeros((ny, m, TY, TXR), rd.dtype)], axis=1
+        )
+        if lo >= 0:
+            cand_c = nb_c[:, :, :, lo : lo + TX]
+            cand_d = nb_d[:, :, :, lo : lo + TX]
+        else:
+            pad = -lo
+            cand_c = jnp.concatenate(
+                [jnp.full((ny, nx, TY, pad), inf, rc.dtype),
+                 nb_c[:, :, :, : TX - pad]], axis=3,
+            )
+            cand_d = jnp.concatenate(
+                [jnp.zeros((ny, nx, TY, pad), rd.dtype),
+                 nb_d[:, :, :, : TX - pad]], axis=3,
+            )
+        take = cand_c < best_c  # strict: neighbor has strictly larger d
+        best_c = jnp.where(take, cand_c, best_c)
+        best_d = jnp.where(take, cand_d, best_d)
+
+    out = jnp.moveaxis(best_d, 2, 1).reshape(ny * TY, nx * TX)
+    return out[:H, :W]

@@ -30,3 +30,20 @@ def subpixel(vol: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     off = jnp.clip(off, -0.5, 0.5)
     ok = (d > 0) & (d < D - 1) & (jnp.abs(denom) > 1e-6)
     return jnp.where(ok, d.astype(jnp.float32) - off, d.astype(jnp.float32))
+
+
+def subpixel_from_triple(
+    disp: jnp.ndarray,
+    c0: jnp.ndarray,
+    cm: jnp.ndarray,
+    cp: jnp.ndarray,
+    max_disparity: int,
+) -> jnp.ndarray:
+    """Parabola refinement from an online-tracked (C[d-1], C[d], C[d+1])
+    triple (the fused Pallas kernel's output form) — same formula and guards
+    as ``subpixel``."""
+    d = disp.astype(jnp.int32)
+    denom = cp - 2.0 * c0 + cm
+    off = jnp.clip((cp - cm) / (2.0 * denom), -0.5, 0.5)
+    ok = (d > 0) & (d < max_disparity - 1) & (jnp.abs(denom) > 1e-6)
+    return jnp.where(ok, d.astype(jnp.float32) - off, d.astype(jnp.float32))

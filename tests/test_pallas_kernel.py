@@ -1,0 +1,94 @@
+"""Fused Pallas ASW kernel vs the jnp reference path (SURVEY.md section 4.2).
+
+Runs in interpret mode on CPU (tests/conftest.py forces the cpu backend, so
+``asw_kernel._interpret()`` is true).  Checks the kernel's online-WTA outputs
+(left argmin + parabola triple, right-view argmin incl. the cross-tile
+combine) against the materialized jnp aggregated volume, and the full
+pipeline end-to-end for both weight modes and both costs.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aswstereomatch_tpu.config import StereoConfig
+from aswstereomatch_tpu.models import pipeline
+from aswstereomatch_tpu.ops import postprocess
+from aswstereomatch_tpu.ops.pallas import asw_kernel
+from aswstereomatch_tpu.utils import synthetic
+
+
+def J(fn, **static):
+    return jax.jit(functools.partial(fn, **static))
+
+
+CFG = StereoConfig(
+    max_disparity=8, cost="tad_grad", aggregation="asw", window_radius=2,
+    gamma_color=14.0, gamma_spatial=9.0,
+)
+
+
+@pytest.mark.parametrize(
+    "cfg,shape",
+    [
+        (CFG, (24, 40)),
+        (CFG.replace(asw_symmetric=False), (24, 40)),
+        (CFG.replace(cost="ad"), (24, 40)),
+        # width > TILE_X: exercises multiple x-tiles and the right-view
+        # cross-tile combine (D=8 keeps interpret-mode time sane)
+        (CFG, (16, 200)),
+    ],
+    ids=["symmetric", "left_only", "ad_cost", "multi_xtile"],
+)
+def test_kernel_outputs_match_jnp_volume(cfg, shape):
+    h, w = shape
+    pair = synthetic.make_pair(height=h, width=w, max_disparity=cfg.max_disparity, seed=3)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+
+    outs = J(asw_kernel.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+
+    bd_ref = np.argmin(vol, -1)
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), bd_ref)
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-5, atol=1e-4
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(np.asarray(outs["rbestd"]), np.argmin(volr, -1))
+
+    D = cfg.max_disparity
+    cm_ref = np.take_along_axis(vol, (bd_ref - 1).clip(0)[..., None], -1)[..., 0]
+    cp_ref = np.take_along_axis(vol, (bd_ref + 1).clip(0, D - 1)[..., None], -1)[..., 0]
+    mask = (bd_ref > 0) & (bd_ref < D - 1)
+    np.testing.assert_allclose(
+        np.asarray(outs["cm"])[mask], cm_ref[mask], rtol=1e-5, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["cp"])[mask], cp_ref[mask], rtol=1e-5, atol=1e-4
+    )
+
+
+def test_pipeline_pallas_matches_jnp_end_to_end():
+    cfg = CFG.replace(
+        backend="pallas", lr_check=True, fill_holes=True, subpixel=True,
+        median_filter=True,
+    )
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=5)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    d_pal = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    d_jnp = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(backend="jnp"))(l, r))
+    # Reduction orders differ (sequential window loop vs tree-sum), so f32
+    # near-ties may flip; demand near-universal agreement.
+    agree = np.mean(np.abs(d_pal - d_jnp) <= 0.51)
+    assert agree > 0.99, f"disagreement {1 - agree:.4%}"
+    assert np.mean(np.abs(d_pal - d_jnp) > 2.0) < 0.005
+
+
+def test_kernel_rejects_unsupported():
+    cfg = CFG.replace(aggregation="box")
+    assert not asw_kernel.supports(cfg)
+    with pytest.raises(ValueError):
+        asw_kernel.wta_outputs(jnp.zeros((8, 8, 3)), jnp.zeros((8, 8, 3)), cfg)
