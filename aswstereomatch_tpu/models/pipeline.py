@@ -87,10 +87,21 @@ def tile_disparity(
     by *global-row-clamped* index so true-boundary rows reproduce the untiled
     edge clamp exactly — the tiled==untiled bit-exactness hinges on this.
 
+    Routes through the fused Pallas kernel when the backend resolves to it
+    (per-pixel results are position-independent, so pallas-tiled ==
+    pallas-untiled stays bit-exact; only rows within the trimmed halo see
+    the tile edge).
+
     left_ext/right_ext: (halo + rows + halo, W[, 3]); returns (rows, W).
     """
-    vol = aggregated_volume(left_ext, right_ext, cfg)
-    disp = disp_pre_from_volume(vol, cfg)
+    if _resolve_backend(cfg) == "pallas":
+        from ..ops.pallas import asw_kernel
+
+        outs = asw_kernel.wta_outputs(left_ext, right_ext, cfg)
+        disp = _disp_pre_from_wta(outs, cfg)
+    else:
+        vol = aggregated_volume(left_ext, right_ext, cfg)
+        disp = disp_pre_from_volume(vol, cfg)
     if not cfg.median_filter:
         return disp[halo : halo + rows]
     g = start - 1 + jnp.arange(rows + 2)  # global rows: owned +-1
@@ -144,8 +155,10 @@ def _resolve_backend(cfg: StereoConfig) -> str:
     return "jnp"
 
 
-def _postprocess_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
-    """Post-process the fused kernel's online-WTA outputs (no volume)."""
+def _disp_pre_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
+    """Subpixel + LR + fill from the fused kernel's online-WTA outputs
+    (everything row-local; no median) — the WTA-output analog of
+    ``disp_pre_from_volume``."""
     disp_i = outs["bestd"]
     if cfg.subpixel:
         disp = wta.subpixel_from_triple(
@@ -161,6 +174,12 @@ def _postprocess_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
             disp = postprocess.fill_holes(disp, valid)
         else:
             disp = jnp.where(valid, disp, -1.0).astype(jnp.float32)
+    return disp.astype(jnp.float32)
+
+
+def _postprocess_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
+    """Post-process the fused kernel's online-WTA outputs (no volume)."""
+    disp = _disp_pre_from_wta(outs, cfg)
     if cfg.median_filter:
         disp = postprocess.median3(disp)
     return disp.astype(jnp.float32)

@@ -67,26 +67,32 @@ def _spatial_weights(cfg: StereoConfig) -> np.ndarray:
     return np.exp(-dist / cfg.gamma_spatial).astype(np.float32).reshape(-1)
 
 
-def _bilateral_planes(
-    img: jnp.ndarray, cfg: StereoConfig, x_pad_left: int = 0, x_pad_right: int = 0
-) -> jnp.ndarray:
-    """Per-center ASW weight planes w(p, p+o) for all window offsets o.
+def bilateral_planes_from_lab(lab_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+    """Per-center ASW weight planes w(p, p+o) from a pre-extended Lab image.
 
-    Centers cover the x-extended domain [-x_pad_left, W-1+x_pad_right];
-    taps read the edge-padded virtual plane unclamped.  Returns
-    (H, W + x_pad_left + x_pad_right, O), O = (2r+1)^2.
+    lab_ext: (H, We + 2r, 3) covering [centers - r, centers + r]; extended
+    columns may be real neighbor data (x-tiling) or edge replicas (the
+    virtual padded plane) — identical math either way.  Returns (H, We, O).
     """
     r = cfg.window_radius
-    imgp = cost_ops._pad_x(img, x_pad_left + r, x_pad_right + r)
-    lab = preprocess.rgb_to_lab(imgp)
     d2 = None
     for c in range(3):
-        p = _patches_2d(lab[..., c], r, x_valid=True)
-        diff = p - lab[..., r:-r, c : c + 1]
+        p = _patches_2d(lab_ext[..., c], r, x_valid=True)
+        diff = p - lab_ext[..., r:-r, c : c + 1]
         d2 = diff * diff if d2 is None else d2 + diff * diff
     dcolor = jnp.sqrt(d2)
     sw = jnp.asarray(_spatial_weights(cfg))
     return (jnp.exp(-dcolor / cfg.gamma_color) * sw).astype(jnp.float32)
+
+
+def _bilateral_planes(
+    img: jnp.ndarray, cfg: StereoConfig, x_pad_left: int = 0, x_pad_right: int = 0
+) -> jnp.ndarray:
+    """Weight planes for centers on [-x_pad_left, W-1+x_pad_right], taps on
+    the edge-padded virtual plane.  Returns (H, W + xl + xr, O)."""
+    r = cfg.window_radius
+    imgp = cost_ops._pad_x(img, x_pad_left + r, x_pad_right + r)
+    return bilateral_planes_from_lab(preprocess.rgb_to_lab(imgp), cfg)
 
 
 def aggregate_box(vol_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
@@ -100,27 +106,35 @@ def aggregate_box(vol_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     return (summed / float(k * k)).astype(jnp.float32)
 
 
-def aggregate_asw(
-    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+def aggregate_asw_from_stacks(
+    l_stack_ext: jnp.ndarray,
+    r_stack_ext: jnp.ndarray,
+    cfg: StereoConfig,
+    d_indices: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Full ASW-aggregated cost volume (H, W, D), fused cost construction.
+    """ASW-aggregated cost volume from pre-extended channel stacks.
 
-    Matches the oracle's aggregate_asw(cost_volume_ext(...)) composition.
+    l_stack_ext: (7, H, W + 2r); r_stack_ext: (7, H, W + 2r + D - 1) —
+    preprocess.channel_stack layout, columns extended per the pinned
+    padded-plane semantics (edge replicas for a whole image; real neighbor
+    columns for an x-tile — same math either way, which is exactly why the
+    padded-plane spec was chosen).  Returns (H, W, len(d_indices)).
     """
     r = cfg.window_radius
     D = cfg.max_disparity
-    h, w = left.shape[:2]
+    h = l_stack_ext.shape[1]
+    w = l_stack_ext.shape[2] - 2 * r
 
-    wl = _bilateral_planes(left, cfg)  # (H, W, O)
-    planes = cost_ops.precompute(left, right, cfg, x_extend=r)
-
+    planes = cost_ops.planes_from_stacks(l_stack_ext, r_stack_ext, r)
+    lab_l = jnp.moveaxis(l_stack_ext[4:7], 0, -1)
+    wl = bilateral_planes_from_lab(lab_l, cfg)  # (H, W, O)
     if cfg.asw_symmetric:
         # Right-weight planes on centers x' in [-(D-1), W-1]; step d slices
         # the window starting at (D-1) - d.
-        wr = _bilateral_planes(right, cfg, x_pad_left=D - 1)  # (H, W+D-1, O)
+        lab_r = jnp.moveaxis(r_stack_ext[4:7], 0, -1)
+        wr = bilateral_planes_from_lab(lab_r, cfg)  # (H, W + D - 1, O)
     else:
         wr = None
-
     O = wl.shape[-1]
 
     def step(_, d):
@@ -135,5 +149,32 @@ def aggregate_asw(
         den = jnp.sum(wgt, axis=-1)
         return None, (num / den).astype(jnp.float32)
 
-    _, out = lax.scan(step, None, jnp.arange(D))
-    return jnp.moveaxis(out, 0, -1)  # (H, W, D)
+    if d_indices is None:
+        d_indices = jnp.arange(D)
+    _, out = lax.scan(step, None, d_indices)
+    return jnp.moveaxis(out, 0, -1)  # (H, W, len(d_indices))
+
+
+def aggregate_asw(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    d_indices: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """ASW-aggregated cost volume for a full pair, fused cost construction.
+
+    Edge-pads the channel stacks to the virtual padded planes and defers to
+    ``aggregate_asw_from_stacks``.  Matches the oracle's
+    aggregate_asw(cost_volume_ext(...)) composition.
+    """
+    r = cfg.window_radius
+    D = cfg.max_disparity
+
+    def pad(stack, pl_, pr_):
+        return jnp.pad(stack, ((0, 0), (0, 0), (pl_, pr_)), mode="edge")
+
+    ls = preprocess.channel_stack(left)
+    rs = preprocess.channel_stack(right)
+    return aggregate_asw_from_stacks(
+        pad(ls, r, r), pad(rs, r + D - 1, r), cfg, d_indices
+    )

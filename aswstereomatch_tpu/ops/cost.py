@@ -61,6 +61,26 @@ def precompute(
     return CostPlanes(lc, rc, gl, gr, x_extend)
 
 
+def planes_from_stacks(
+    l_stack: jnp.ndarray, r_stack: jnp.ndarray, x_extend: int
+) -> CostPlanes:
+    """CostPlanes from pre-extended channel stacks (x-tiling path).
+
+    Stacks are (7, H, W') in preprocess.channel_stack layout — channels were
+    computed *globally* (the x-gradient is the only non-pointwise one), then
+    column halos were exchanged, so the extended columns hold real neighbor
+    data and boundary shards hold edge replicas == the virtual padded plane.
+    l_stack covers the cost domain [-x_extend, W-1+x_extend]; r_stack has
+    D-1 additional left columns.
+    """
+    def chw(stack):
+        return jnp.moveaxis(stack[0:3], 0, -1)
+
+    return CostPlanes(
+        chw(l_stack), chw(r_stack), l_stack[3], r_stack[3], x_extend
+    )
+
+
 def cost_plane(planes: CostPlanes, d, cfg: StereoConfig) -> jnp.ndarray:
     """(H, W + 2*x_extend) raw cost for disparity d (python int or traced)."""
     D = cfg.max_disparity

@@ -100,16 +100,7 @@ def _spatial_weights_np(cfg: StereoConfig) -> np.ndarray:
     return np.exp(-d / cfg.gamma_spatial).astype(np.float32)
 
 
-def _channel_stack(img: jnp.ndarray) -> jnp.ndarray:
-    """(H, W[,3]) image -> (7, H, W): RGB, x-gradient, Lab."""
-    if img.ndim == 2:
-        rgb = jnp.stack([img] * 3, axis=0).astype(jnp.float32)
-    else:
-        rgb = jnp.moveaxis(img.astype(jnp.float32), -1, 0)
-    gray = preprocess.rgb_to_gray(img)
-    grad = preprocess.x_gradient(gray)[None]
-    lab = jnp.moveaxis(preprocess.rgb_to_lab(img), -1, 0)
-    return jnp.concatenate([rgb, grad, lab], axis=0)
+_channel_stack = preprocess.channel_stack
 
 
 def _extract_tiles(stack: jnp.ndarray, ny, nx, ty, tx, ph, pw) -> jnp.ndarray:
@@ -281,20 +272,25 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
 
         def d_body(d, _):
             crow = _row_window(cost_sc[d], dy, TY)  # (TY, PWL) value
-            num = num_sc[d]
-            den = den_sc[d]
             if sym:
                 off = (D - 1) - d
                 srs = _lane_window(srrow_sc[...], off, TX)  # (K, TY, TX)
-            for dx in range(K):
+            # 4 interleaved partial accumulators: a single running sum is a
+            # serial FMA chain (latency-bound on the VPU); independent
+            # partials restore ILP.
+            LANES = 4
+            nums = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
+            dens = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
+            for j, dx in enumerate(range(K)):
                 if sym:
                     t_ = slrow_sc[dx] * srs[dx]
                 else:
                     t_ = slrow_sc[dx]
-                num = num + t_ * crow[:, dx : dx + TX]
-                den = den + t_
-            num_sc[d] = num
-            den_sc[d] = den
+                k = j % LANES
+                nums[k] = nums[k] + t_ * crow[:, dx : dx + TX]
+                dens[k] = dens[k] + t_
+            num_sc[d] = num_sc[d] + ((nums[0] + nums[1]) + (nums[2] + nums[3]))
+            den_sc[d] = den_sc[d] + ((dens[0] + dens[1]) + (dens[2] + dens[3]))
             return ()
 
         lax.fori_loop(0, D, d_body, (), unroll=False)

@@ -33,3 +33,22 @@ def x_gradient(gray: jnp.ndarray) -> jnp.ndarray:
     """
     pad = jnp.pad(gray, ((0, 0), (1, 1)), mode="edge")
     return (pad[:, 2:] - pad[:, :-2]).astype(jnp.float32)
+
+
+def channel_stack(img: jnp.ndarray) -> jnp.ndarray:
+    """(H, W[,3]) image -> (7, H, W): RGB, x-gradient, Lab.
+
+    The per-pair plane bundle every downstream stage consumes (cost: RGB +
+    gradient; ASW weights: Lab).  All channels are pointwise except the
+    gradient, so computing the stack *globally* and then slicing/halo-
+    exchanging columns is exact — the basis of the x-tiling path and the
+    Pallas patch extraction.
+    """
+    if img.ndim == 2:
+        rgb = jnp.stack([img] * 3, axis=0).astype(jnp.float32)
+    else:
+        rgb = jnp.moveaxis(img.astype(jnp.float32), -1, 0)
+    gray = rgb_to_gray(img)
+    grad = x_gradient(gray)[None]
+    lab = jnp.moveaxis(rgb_to_lab(img), -1, 0)
+    return jnp.concatenate([rgb, grad, lab], axis=0)

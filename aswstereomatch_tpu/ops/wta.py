@@ -17,6 +17,23 @@ def wta(vol: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(vol, axis=-1).astype(jnp.int32)
 
 
+def wta_with_triple(vol: jnp.ndarray) -> dict:
+    """Argmin plus the (C[d*-1], C[d*], C[d*+1]) parabola triple.
+
+    The volume-path equivalent of the fused kernel's online outputs; cm/cp at
+    the d-range edges are clamped reads (masked later by the subpixel guard).
+    """
+    D = vol.shape[-1]
+    d = jnp.argmin(vol, axis=-1).astype(jnp.int32)
+    take = lambda i: jnp.take_along_axis(vol, i[..., None], axis=-1)[..., 0]
+    return {
+        "bestd": d,
+        "bestc": take(d),
+        "cm": take(jnp.clip(d - 1, 0, D - 1)),
+        "cp": take(jnp.clip(d + 1, 0, D - 1)),
+    }
+
+
 def subpixel(vol: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
     """Parabola refinement around the integer winner.  vol: (H, W, D)."""
     D = vol.shape[-1]

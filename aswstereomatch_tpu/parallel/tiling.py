@@ -198,3 +198,161 @@ def shard_batch_arrays(arrays, device_mesh: Mesh):
         return jax.device_put(a, NamedSharding(device_mesh, spec))
 
     return jax.tree_util.tree_map(put, arrays)
+
+
+# ---------------------------------------------------------------------------
+# x-axis tiling — the ring / D_max-halo layout (SURVEY.md section 2.2 SP row)
+# ---------------------------------------------------------------------------
+
+def _exchange_halos_x(block: jnp.ndarray, hl: int, hr: int, axis: str) -> jnp.ndarray:
+    """Column halo exchange on the last axis: (..., ws) -> (..., hl+ws+hr).
+
+    The left halo carries ``hl`` columns from the previous shard (for the
+    right-image stack this is the aggregation radius + D_max strip — the
+    ring-attention-shaped exchange); boundary shards substitute edge
+    replicas, which equals the virtual padded plane.
+    """
+    n = lax.axis_size(axis)
+    idx = lax.axis_index(axis)
+
+    def edge(sl, count):
+        return jnp.repeat(sl, count, axis=-1)
+
+    if n == 1:
+        return jnp.concatenate(
+            [edge(block[..., :1], hl), block, edge(block[..., -1:], hr)], axis=-1
+        )
+    from_prev = lax.ppermute(
+        block[..., -hl:], axis, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_next = lax.ppermute(
+        block[..., :hr], axis, [(i, i - 1) for i in range(1, n)]
+    )
+    from_prev = jnp.where(idx == 0, edge(block[..., :1], hl), from_prev)
+    from_next = jnp.where(idx == n - 1, edge(block[..., -1:], hr), from_next)
+    return jnp.concatenate([from_prev, block, from_next], axis=-1)
+
+
+def match_pair_tiled_x(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    cfg: StereoConfig,
+    device_mesh: Mesh,
+) -> jnp.ndarray:
+    """Single pair, x-sharded over the mesh "tile" axis (ASW configs).
+
+    Per shard: the left channel stack travels with an r-column halo, the
+    right stack with an (r + D_max - 1)-column left halo (the "sequence
+    length" analog of SURVEY section 5); cost+ASW+WTA are computed locally
+    from real neighbor columns; right-view partial argmins are merged with
+    the next shard's (D-1)-column strip (strict-<, preserving first-min);
+    the small per-view winner planes are then all-gathered so the x-global
+    post-processing stages (LR gather along x, row fill, median) run
+    replicated — bit-identical to the untiled pipeline.
+    """
+    from ..ops import aggregate, postprocess, preprocess
+    from ..ops import wta as wta_ops
+
+    if cfg.aggregation != "asw":
+        raise ValueError("x-tiling currently covers the ASW configs")
+    axis = mesh_lib.TILE_AXIS
+    n = device_mesh.shape[axis]
+    r = cfg.window_radius
+    D = cfg.max_disparity
+    h, w = left.shape[:2]
+    pad = (-w) % n
+    ws = (w + pad) // n
+    if r + D - 1 > ws:
+        raise ValueError(
+            f"right-image halo {r + D - 1} exceeds {ws} cols/shard; "
+            "use fewer x-shards"
+        )
+
+    ls = preprocess.channel_stack(left)
+    rs = preprocess.channel_stack(right)
+    if pad:
+        widths = ((0, 0), (0, 0), (0, pad))
+        ls = jnp.pad(ls, widths, mode="edge")
+        rs = jnp.pad(rs, widths, mode="edge")
+
+    spec = P(None, None, axis)
+
+    @functools.partial(
+        shard_map,
+        mesh=device_mesh,
+        in_specs=(spec, spec),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    def run(l_blk, r_blk):
+        k = lax.axis_index(axis)
+        x0 = k * ws  # global column of this shard's first owned column
+        l_ext = _exchange_halos_x(l_blk, r, r, axis)
+        r_ext = _exchange_halos_x(r_blk, r + D - 1, r, axis)
+        vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
+
+        outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes
+
+        # Right-view partial over x' in [x0 - (D-1), x0 + ws): candidate
+        # (x', d) lives here iff left pixel x'+d is owned and real.
+        xg = x0 + jnp.arange(ws)[None, :, None]  # global owned x
+        vol_r = jnp.where(xg <= w - 1, vol, jnp.inf)  # exclude padded cols
+        jj = jnp.arange(ws + D - 1)[:, None]  # partial-buffer index
+        dd = jnp.arange(D)[None, :]
+        src = jj - (D - 1) + dd  # local left col feeding (j, d)
+        valid = (src >= 0) & (src < ws)
+        gath = jnp.take_along_axis(
+            vol_r,
+            jnp.broadcast_to(
+                jnp.clip(src, 0, ws - 1)[None], (h, ws + D - 1, D)
+            ),
+            axis=1,
+        )
+        gath = jnp.where(valid[None], gath, jnp.inf)
+        rpart_c = jnp.min(gath, axis=-1)
+        rpart_d = jnp.argmin(gath, axis=-1).astype(jnp.int32)
+
+        # Merge with the next shard's left strip (its candidates have
+        # strictly larger d for the same x', so strict-< keeps first-min).
+        own_c = rpart_c[:, D - 1 :]
+        own_d = rpart_d[:, D - 1 :]
+        if n > 1 and D > 1:
+            strip_c = rpart_c[:, : D - 1]
+            strip_d = rpart_d[:, : D - 1]
+            nb_c = lax.ppermute(strip_c, axis, [(i, i - 1) for i in range(1, n)])
+            nb_d = lax.ppermute(strip_d, axis, [(i, i - 1) for i in range(1, n)])
+            nb_c = jnp.where(lax.axis_index(axis) == n - 1, jnp.inf, nb_c)
+            cand_c = jnp.concatenate(
+                [jnp.full((h, ws - (D - 1)), jnp.inf, jnp.float32), nb_c], axis=1
+            )
+            cand_d = jnp.concatenate(
+                [jnp.zeros((h, ws - (D - 1)), jnp.int32), nb_d], axis=1
+            )
+            take_nb = cand_c < own_c
+            own_c = jnp.where(take_nb, cand_c, own_c)
+            own_d = jnp.where(take_nb, cand_d, own_d)
+
+        # Gather the small winner planes; x-global post-processing runs
+        # replicated, then each shard emits its own slice.
+        fields = (
+            outs["bestd"], outs["bestc"], outs["cm"], outs["cp"], own_d,
+        )
+        full = [
+            jnp.moveaxis(lax.all_gather(f, axis), 0, 1).reshape(h, n * ws)
+            for f in fields
+        ]
+        gouts = {
+            "bestd": full[0][:, :w],
+            "bestc": full[1][:, :w],
+            "cm": full[2][:, :w],
+            "cp": full[3][:, :w],
+            "rbestd": full[4][:, :w],
+        }
+        disp = pipeline._disp_pre_from_wta(gouts, cfg)
+        if cfg.median_filter:
+            disp = postprocess.median3(disp)
+        disp = jnp.pad(disp, ((0, 0), (0, pad)), mode="edge")
+        return lax.dynamic_slice(disp, (0, x0), (h, ws))
+
+    out = run(ls, rs)
+    return out[:, :w]

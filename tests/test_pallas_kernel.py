@@ -92,3 +92,32 @@ def test_kernel_rejects_unsupported():
     assert not asw_kernel.supports(cfg)
     with pytest.raises(ValueError):
         asw_kernel.wta_outputs(jnp.zeros((8, 8, 3)), jnp.zeros((8, 8, 3)), cfg)
+
+
+def test_pallas_tiled_equals_pallas_untiled_exactly():
+    """Sharded tiling routed through the fused kernel stays bit-exact."""
+    from aswstereomatch_tpu.parallel import mesh as mesh_lib
+    from aswstereomatch_tpu.parallel import tiling
+
+    cfg = CFG.replace(
+        backend="pallas", window_radius=2, lr_check=True, fill_holes=True,
+        subpixel=True, median_filter=True,
+    )
+    pair = synthetic.make_pair(height=48, width=40, max_disparity=8, seed=8)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(l, r))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_chunked_equals_unchunked_exactly():
+    cfg = CFG.replace(
+        backend="pallas", window_radius=2, lr_check=True, fill_holes=True,
+        subpixel=True, median_filter=True,
+    )
+    pair = synthetic.make_pair(height=48, width=40, max_disparity=8, seed=9)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    out = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(y_chunks=3))(l, r))
+    np.testing.assert_array_equal(out, ref)

@@ -104,3 +104,74 @@ def test_chunked_equals_unchunked_exactly(pair96):
         cfg = CFG_FULL.replace(y_chunks=n)
         out = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
         np.testing.assert_array_equal(out, ref)
+
+
+def test_dsharded_equals_unsharded_exactly(pair96):
+    """Disparity-axis sharding (TP analog): bit-identical to unsharded."""
+    from aswstereomatch_tpu.parallel import dshard
+
+    cfg = CFG_FULL  # D=16 over 4 shards
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(
+        J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_dshard_validates_divisibility(pair96):
+    from aswstereomatch_tpu.parallel import dshard
+
+    m = mesh_lib.build_mesh(data=1, tile=3)
+    with pytest.raises(ValueError, match="divisible"):
+        dshard.match_pair_dsharded(
+            jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"]),
+            CFG_FULL, m,
+        )
+
+
+def test_xtiled_equals_untiled_exactly(pair96):
+    """x-tiling with the D_max right-image halo: bit-identical to untiled."""
+    cfg = CFG_FULL
+    left = jnp.asarray(pair96["left"])   # (96, 64): 4 shards x 16 cols
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    # 64 cols / 2 shards = 32 >= halo (r + D - 1 = 19)
+    m = mesh_lib.build_mesh(data=1, tile=2)
+    out = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
+
+    wide = synthetic.make_pair(height=48, width=128, max_disparity=16, seed=31)
+    lw, rw = jnp.asarray(wide["left"]), jnp.asarray(wide["right"])
+    ref_w = np.asarray(J(pipeline.match_pair, cfg=cfg)(lw, rw))
+    m4 = mesh_lib.build_mesh(data=1, tile=4)
+    out_w = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m4)(lw, rw)
+    )
+    np.testing.assert_array_equal(out_w, ref_w)
+
+
+def test_xtiled_nondivisible_width_exact():
+    pair = synthetic.make_pair(height=48, width=61, max_disparity=8, seed=21)
+    cfg = CFG_FULL.replace(max_disparity=8)
+    left, right = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=2)
+    out = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
+    )
+    assert out.shape == ref.shape == (48, 61)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_xtiled_halo_validation(pair96):
+    m = mesh_lib.build_mesh(data=1, tile=8)  # 8 cols/shard < halo 19
+    with pytest.raises(ValueError, match="halo"):
+        tiling.match_pair_tiled_x(
+            jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"]),
+            CFG_FULL, m,
+        )
