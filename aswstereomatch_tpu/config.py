@@ -49,6 +49,11 @@ Pinned numeric conventions (all implementations MUST follow these):
   - Fill: per-row, each invalid pixel takes ``min(nearest valid to the left,
     nearest valid to the right)`` (background bias); one-sided at row edges.
   - Median: 3x3 median on the float disparity map, replicate border, last.
+  - Weighted median ("weighted" mode): 3x3 window; weights
+    ``exp(-dLab(center, tap)/gamma_c - |o|_2/gamma_p)`` from the LEFT image
+    (edge-replicated taps, nominal-offset spatial term); taps sorted
+    ascending by disparity (stable); output is the first tap value whose
+    cumulative weight reaches half the total.
 """
 
 from __future__ import annotations
@@ -86,6 +91,8 @@ class StereoConfig:
     fill_holes: bool = True
     subpixel: bool = True
     median_filter: bool = True         # final 3x3 median
+    median_mode: str = "plain"         # "plain" | "weighted" (bilateral-
+                                       # guided 3x3 weighted median)
     # ---- numerics / memory --------------------------------------------------
     compute_dtype: str = "float32"     # accumulation dtype for cost/weights
     y_chunks: int = 1                  # >1: stream row bands sequentially per
@@ -111,6 +118,8 @@ class StereoConfig:
             raise ValueError("window_radius must be >= 0")
         if self.backend not in ("auto", "jnp", "pallas"):
             raise ValueError(f"unknown backend {self.backend!r}")
+        if self.median_mode not in ("plain", "weighted"):
+            raise ValueError(f"unknown median_mode {self.median_mode!r}")
 
     # -- derived --------------------------------------------------------------
     @property

@@ -232,6 +232,35 @@ def fill_holes(disp: np.ndarray, valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def weighted_median3(
+    disp: np.ndarray, left: np.ndarray, cfg: StereoConfig
+) -> np.ndarray:
+    """Bilateral-guided 3x3 weighted median, literal form (config.py spec)."""
+    h, w = disp.shape
+    lab = colorspace.rgb_to_lab(left, np)
+    out = np.empty_like(disp, dtype=np.float32)
+    for y in range(h):
+        for x in range(w):
+            vals = []
+            wgts = []
+            for wy in (-1, 0, 1):
+                for wx in (-1, 0, 1):
+                    yy = min(max(y + wy, 0), h - 1)
+                    xx = min(max(x + wx, 0), w - 1)
+                    vals.append(disp[yy, xx])
+                    dlab = float(np.sqrt(((lab[y, x] - lab[yy, xx]) ** 2).sum()))
+                    sp = float(np.hypot(wy, wx)) / cfg.gamma_spatial
+                    wgts.append(float(np.exp(-dlab / cfg.gamma_color - sp)))
+            order = np.argsort(np.asarray(vals), kind="stable")
+            v_s = np.asarray(vals, np.float32)[order]
+            g_s = np.asarray(wgts, np.float64)[order]
+            cum = np.cumsum(g_s)
+            half = cum[-1] * 0.5
+            k = int(np.argmax(cum >= half))
+            out[y, x] = v_s[k]
+    return out
+
+
 def median3(disp: np.ndarray) -> np.ndarray:
     h, w = disp.shape
     out = np.empty_like(disp)
@@ -275,5 +304,8 @@ def match_pair(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.nda
         else:
             disp = np.where(valid, disp, -1.0).astype(np.float32)
     if cfg.median_filter:
-        disp = median3(disp)
+        if cfg.median_mode == "weighted":
+            disp = weighted_median3(disp, left, cfg)
+        else:
+            disp = median3(disp)
     return disp.astype(np.float32)

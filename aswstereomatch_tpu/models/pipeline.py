@@ -62,11 +62,21 @@ def disp_pre_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     return disp.astype(jnp.float32)
 
 
-def _postprocess_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+def _guide_lab(left: jnp.ndarray, cfg: StereoConfig):
+    if cfg.median_filter and cfg.median_mode == "weighted":
+        from ..ops import preprocess
+
+        return preprocess.rgb_to_lab(left)
+    return None
+
+
+def _postprocess_from_volume(
+    vol: jnp.ndarray, cfg: StereoConfig, left: jnp.ndarray
+) -> jnp.ndarray:
     """WTA + subpixel + LR + fill + median from an aggregated volume."""
     disp = disp_pre_from_volume(vol, cfg)
     if cfg.median_filter:
-        disp = postprocess.median3(disp)
+        disp = postprocess.median_filter(disp, cfg, _guide_lab(left, cfg))
     return disp
 
 
@@ -108,7 +118,8 @@ def tile_disparity(
     g = jnp.clip(g, 0, true_h - 1)
     local = jnp.clip(g - (start - halo), 0, disp.shape[0] - 1)
     med_in = jnp.take(disp, local, axis=0)  # (rows + 2, W)
-    return postprocess.median3(med_in)[1 : 1 + rows]
+    guide = _guide_lab(jnp.take(left_ext, local, axis=0), cfg)
+    return postprocess.median_filter(med_in, cfg, guide)[1 : 1 + rows]
 
 
 def match_pair_chunked(
@@ -177,11 +188,13 @@ def _disp_pre_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
     return disp.astype(jnp.float32)
 
 
-def _postprocess_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
+def _postprocess_from_wta(
+    outs: dict, cfg: StereoConfig, left: jnp.ndarray
+) -> jnp.ndarray:
     """Post-process the fused kernel's online-WTA outputs (no volume)."""
     disp = _disp_pre_from_wta(outs, cfg)
     if cfg.median_filter:
-        disp = postprocess.median3(disp)
+        disp = postprocess.median_filter(disp, cfg, _guide_lab(left, cfg))
     return disp.astype(jnp.float32)
 
 
@@ -194,11 +207,11 @@ def match_pair(
         from ..ops.pallas import asw_kernel
 
         outs = asw_kernel.wta_outputs(left, right, cfg)
-        return _postprocess_from_wta(outs, cfg)
+        return _postprocess_from_wta(outs, cfg, left)
     if cfg.y_chunks > 1:
         return match_pair_chunked(left, right, cfg)
     vol = aggregated_volume(left, right, cfg)
-    return _postprocess_from_volume(vol, cfg)
+    return _postprocess_from_volume(vol, cfg, left)
 
 
 def match_batch(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:

@@ -80,3 +80,58 @@ def median3(disp: jnp.ndarray) -> jnp.ndarray:
         axis=-1,
     )
     return jnp.sort(taps, axis=-1)[..., 4].astype(jnp.float32)
+
+
+def weighted_median3(
+    disp: jnp.ndarray, guide_lab: jnp.ndarray, cfg: StereoConfig
+) -> jnp.ndarray:
+    """Bilateral-guided 3x3 weighted median (config.py pinned spec).
+
+    Weights come from the left image's Lab planes (the aggregation guidance),
+    ``exp(-dLab/gamma_c - |o|/gamma_p)``; taps are sorted ascending by
+    disparity (stable) and the output is the first value whose cumulative
+    weight reaches half the total — the standard occlusion-edge-preserving
+    refinement of the plain median (reference capability: SURVEY.md section
+    2.1 "Median/weighted-median filter").
+    """
+    import numpy as np
+
+    h, w = disp.shape
+    pd = jnp.pad(disp, ((1, 1), (1, 1)), mode="edge")
+    pg = jnp.pad(guide_lab, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    vals = []
+    wgts = []
+    for dy in range(3):
+        for dx in range(3):
+            vals.append(pd[dy : dy + h, dx : dx + w])
+            dlab = jnp.sqrt(
+                jnp.sum(
+                    (pg[dy : dy + h, dx : dx + w] - guide_lab) ** 2, axis=-1
+                )
+            )
+            sp = np.float32(
+                np.hypot(dy - 1, dx - 1) / cfg.gamma_spatial
+            )
+            wgts.append(jnp.exp(-dlab / cfg.gamma_color - sp))
+    v = jnp.stack(vals, axis=-1)  # (H, W, 9)
+    g = jnp.stack(wgts, axis=-1)
+    order = jnp.argsort(v, axis=-1, stable=True)
+    v_s = jnp.take_along_axis(v, order, axis=-1)
+    g_s = jnp.take_along_axis(g, order, axis=-1)
+    cum = jnp.cumsum(g_s, axis=-1)
+    half = cum[..., -1:] * 0.5
+    k = jnp.argmax(cum >= half, axis=-1)
+    return jnp.take_along_axis(v_s, k[..., None], axis=-1)[..., 0].astype(
+        jnp.float32
+    )
+
+
+def median_filter(
+    disp: jnp.ndarray, cfg: StereoConfig, guide_lab: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Dispatch to the configured final median variant."""
+    if cfg.median_mode == "weighted":
+        if guide_lab is None:
+            raise ValueError("weighted median needs the left-image Lab guide")
+        return weighted_median3(disp, guide_lab, cfg)
+    return median3(disp)

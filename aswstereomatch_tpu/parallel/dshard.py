@@ -118,7 +118,9 @@ def match_pair_dsharded(
         outs = {"bestc": bc, "bestd": bd, "cm": bcm, "cp": bcp, "rbestd": rd}
         disp = pipeline._disp_pre_from_wta(outs, cfg)
         if cfg.median_filter:
-            disp = postprocess.median3(disp)
+            disp = postprocess.median_filter(
+                disp, cfg, pipeline._guide_lab(l_img, cfg)
+            )
         return disp.astype(jnp.float32)
 
     return run(left, right)

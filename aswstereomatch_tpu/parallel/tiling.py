@@ -350,7 +350,19 @@ def match_pair_tiled_x(
         }
         disp = pipeline._disp_pre_from_wta(gouts, cfg)
         if cfg.median_filter:
-            disp = postprocess.median3(disp)
+            guide = None
+            if cfg.median_mode == "weighted":
+                lab_full = jnp.stack(
+                    [
+                        jnp.moveaxis(
+                            lax.all_gather(l_blk[4 + c], axis), 0, 1
+                        ).reshape(h, n * ws)[:, :w]
+                        for c in range(3)
+                    ],
+                    axis=-1,
+                )
+                guide = lab_full
+            disp = postprocess.median_filter(disp, cfg, guide)
         disp = jnp.pad(disp, ((0, 0), (0, pad)), mode="edge")
         return lax.dynamic_slice(disp, (0, x0), (h, ws))
 

@@ -1,0 +1,101 @@
+"""Multi-process (loopback DCN) test of the distributed batch path.
+
+SURVEY.md section 4.4: ``jax.distributed.initialize`` with 2 local processes
+over loopback on the CPU backend — the same code path a real multi-host pod
+uses for the data axis.  Each process owns 4 of 8 global devices; the batch
+shards over (data=2-hosts-equivalent, tile) and results must match the
+single-process pipeline exactly.
+
+Runs as subprocesses so the main pytest process keeps its own runtime.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+    pid = int(sys.argv[1])
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    import numpy as np
+    import jax.numpy as jnp
+    from aswstereomatch_tpu.config import StereoConfig
+    from aswstereomatch_tpu.parallel import distributed, mesh as mesh_lib
+    from aswstereomatch_tpu.utils import synthetic
+
+    assert jax.process_count() == 2, jax.process_count()
+    assert jax.device_count() == 8, jax.device_count()
+
+    cfg = StereoConfig(
+        max_disparity=8, cost="tad_grad", aggregation="asw", window_radius=2,
+        lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
+    )
+    pairs = [synthetic.make_pair(height=32, width=48, max_disparity=8, seed=s)
+             for s in range(4)]
+    lefts = np.stack([p["left"] for p in pairs])
+    rights = np.stack([p["right"] for p in pairs])
+
+    m = distributed.global_mesh(tile=4)  # data=2 across processes
+    out = distributed.run_batch_distributed(lefts, rights, cfg, m)
+    out_local = [np.asarray(s.data) for s in out.addressable_shards]
+
+    # Check this process's addressable shards of the global result against
+    # the single-device unsharded reference, pair by pair.
+    import functools
+    from aswstereomatch_tpu.models import pipeline
+    fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+    for s in out.addressable_shards:
+        b0 = s.index[0].start or 0
+        rows = s.index[1]
+        for bi in range(s.data.shape[0]):
+            ref = np.asarray(fn(jnp.asarray(lefts[b0 + bi]),
+                                jnp.asarray(rights[b0 + bi])))
+            got = np.asarray(s.data[bi])
+            r0 = rows.start or 0
+            np.testing.assert_array_equal(got, ref[r0 : r0 + got.shape[0]])
+    print(f"proc {pid} OK")
+    """
+)
+
+
+@pytest.mark.slow
+def test_two_process_loopback(tmp_path):
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER.replace("{port}", str(port)))
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out.decode())
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+        assert f"proc {i} OK" in out

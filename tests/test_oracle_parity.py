@@ -122,3 +122,28 @@ def test_full_pipeline_matches_oracle(small_pair, cfg):
     assert agree > 0.995, f"pipeline disagreement: {1 - agree:.4%}"
     bad2 = np.mean(np.abs(d_j - d_o) > 2.0)
     assert bad2 < 0.002, f"bad-2.0 vs oracle: {bad2:.4%}"
+
+
+def test_weighted_median_matches_oracle(small_pair):
+    from aswstereomatch_tpu.ops import postprocess, preprocess
+
+    cfg = CFG_TAD.replace(median_mode="weighted")
+    rng = np.random.default_rng(4)
+    disp = np.round(rng.uniform(0, 12, (19, 21)) * 2) / 2  # half-pixel grid
+    disp = disp.astype(np.float32)
+    left = small_pair["left"][:19, :21]
+    w_o = oracle.weighted_median3(disp, left, cfg)
+    guide = J(preprocess.rgb_to_lab)(jnp.asarray(left))
+    w_j = np.asarray(
+        J(postprocess.weighted_median3, cfg=cfg)(jnp.asarray(disp), guide)
+    )
+    assert (w_j == w_o).mean() > 0.995  # f32-vs-f64 cumsum can flip rare ties
+
+
+def test_full_pipeline_weighted_median(small_pair):
+    cfg = CFG_TAD.replace(median_mode="weighted")
+    left, right = small_pair["left"], small_pair["right"]
+    d_o = oracle.match_pair(left, right, cfg)
+    d_j = np.asarray(J(pipeline.match_pair, cfg=cfg)(jnp.asarray(left), jnp.asarray(right)))
+    agree = np.mean(np.abs(d_j - d_o) <= 0.51)
+    assert agree > 0.99, f"disagreement {1 - agree:.4%}"

@@ -175,3 +175,16 @@ def test_xtiled_halo_validation(pair96):
             jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"]),
             CFG_FULL, m,
         )
+
+
+def test_tiled_weighted_median_exact(pair96):
+    """y-tiling stays bit-exact with the weighted median variant."""
+    cfg = CFG_FULL.replace(median_mode="weighted")
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(
+        J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
