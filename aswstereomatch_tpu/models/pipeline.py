@@ -239,8 +239,25 @@ class StereoMatcher:
             cfg = cfg.replace(**overrides)
         return cls(cfg)
 
+    @staticmethod
+    def _validate(left, right, batched: bool):
+        want = 3 if batched else 2
+        if left.ndim not in (want, want + 1):
+            raise ValueError(
+                f"expected {'(B, H, W[, 3])' if batched else '(H, W[, 3])'} "
+                f"images, got shape {left.shape}"
+            )
+        if left.shape != right.shape:
+            raise ValueError(
+                f"left/right shape mismatch: {left.shape} vs {right.shape}"
+            )
+
     def __call__(self, left, right):
-        return self._match(jnp.asarray(left), jnp.asarray(right))
+        left, right = jnp.asarray(left), jnp.asarray(right)
+        self._validate(left, right, batched=False)
+        return self._match(left, right)
 
     def batch(self, lefts, rights):
-        return self._match_batch(jnp.asarray(lefts), jnp.asarray(rights))
+        lefts, rights = jnp.asarray(lefts), jnp.asarray(rights)
+        self._validate(lefts, rights, batched=True)
+        return self._match_batch(lefts, rights)

@@ -280,6 +280,7 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
 
         def d_body(d, _):
             crow = _row_window(cost_sc[d], dy, TY)  # (TY, PWL) value
+            slrow = slrow_sc[...]  # one bulk read, reused across dx
             if sym:
                 off = (D - 1) - d
                 srs = _lane_window(srrow_sc[...], off, TX)  # (K, TY, TX)
@@ -291,9 +292,9 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
             dens = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
             for j, dx in enumerate(range(K)):
                 if sym:
-                    t_ = slrow_sc[dx] * srs[dx]
+                    t_ = slrow[dx] * srs[dx]
                 else:
-                    t_ = slrow_sc[dx]
+                    t_ = slrow[dx]
                 k = j % LANES
                 nums[k] = nums[k] + t_ * crow[:, dx : dx + TX]
                 dens[k] = dens[k] + t_

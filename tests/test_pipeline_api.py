@@ -1,0 +1,39 @@
+"""Public API surface: presets, validation, matcher ergonomics."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import aswstereomatch_tpu as asm
+
+
+def test_all_presets_construct_matchers():
+    for name in sorted(asm.PRESETS):
+        m = asm.StereoMatcher.from_preset(name, backend="jnp")
+        assert m.cfg.max_disparity >= 16
+
+
+def test_matcher_validates_inputs():
+    m = asm.StereoMatcher(asm.StereoConfig(max_disparity=8, aggregation="box",
+                                           window_radius=2))
+    left = np.zeros((16, 24, 3), np.float32)
+    with pytest.raises(ValueError, match="mismatch"):
+        m(left, np.zeros((12, 24, 3), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        m(np.zeros((16,), np.float32), np.zeros((16,), np.float32))
+    with pytest.raises(ValueError, match="expected"):
+        m.batch(left[..., 0], left[..., 0])  # 2D arrays passed to batch
+
+
+def test_preset_overrides():
+    m = asm.StereoMatcher.from_preset("tsukuba_ad_box", max_disparity=8)
+    assert m.cfg.max_disparity == 8
+    out = m(np.zeros((16, 24, 3), np.float32), np.zeros((16, 24, 3), np.float32))
+    assert out.shape == (16, 24)
+
+
+def test_config_hash_stable_and_distinct():
+    a = asm.StereoConfig()
+    b = asm.StereoConfig(max_disparity=32)
+    assert a.config_hash() == asm.StereoConfig().config_hash()
+    assert a.config_hash() != b.config_hash()
