@@ -121,3 +121,20 @@ def test_pallas_chunked_equals_unchunked_exactly():
     ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
     out = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(y_chunks=3))(l, r))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_batch_matches_single():
+    cfg = CFG.replace(backend="pallas", lr_check=True, fill_holes=True,
+                      subpixel=True, median_filter=True)
+    p1 = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=1)
+    p2 = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=2)
+    lb = jnp.stack([jnp.asarray(p1["left"]), jnp.asarray(p2["left"])])
+    rb = jnp.stack([jnp.asarray(p1["right"]), jnp.asarray(p2["right"])])
+    outs = np.asarray(J(pipeline.match_batch, cfg=cfg)(lb, rb))
+    for i, p in enumerate((p1, p2)):
+        ref = np.asarray(
+            J(pipeline.match_pair, cfg=cfg)(
+                jnp.asarray(p["left"]), jnp.asarray(p["right"])
+            )
+        )
+        np.testing.assert_allclose(outs[i], ref, atol=1e-4)

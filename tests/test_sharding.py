@@ -188,3 +188,20 @@ def test_tiled_weighted_median_exact(pair96):
         J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(left, right)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_reshard_roundtrip_and_layout(pair96):
+    """Ulysses-analog all_to_all: x-sharded <-> d-sharded volume layouts."""
+    from aswstereomatch_tpu.parallel import reshard
+
+    rng = np.random.default_rng(5)
+    vol = rng.random((16, 32, 8)).astype(np.float32)  # (H, W, D)
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    vx = jax.device_put(vol, NamedSharding(m, P(None, "tile", None)))
+    vd = J(reshard.x_to_d, device_mesh=m)(vx)
+    # value must be unchanged, only the layout moved
+    np.testing.assert_array_equal(np.asarray(vd), vol)
+    back = J(reshard.d_to_x, device_mesh=m)(vd)
+    np.testing.assert_array_equal(np.asarray(back), vol)
