@@ -54,6 +54,10 @@ from .. import preprocess
 TILE_Y = 32
 TILE_X = 128
 
+# Mosaic's default VMEM budget is conservative; raising it is what allows
+# the TY=32 working set (cost slab + accumulators + weight rows ~17 MB).
+VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 
 def _tile_y(h: int) -> int:
     """Tile height: TILE_Y, or the f32 min tile (8) for short images."""
@@ -388,6 +392,9 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=VMEM_LIMIT_BYTES,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=T * flops_tile,
             bytes_accessed=T * (7 * PH * (PWL + PWR) + 6 * TY * TX) * 4,

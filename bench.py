@@ -112,7 +112,7 @@ def _numpy_asw_reference_rate() -> float:
     return rate
 
 
-def run_bench(preset: str, iters: int, save: bool = True) -> dict:
+def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto") -> dict:
     import jax
     from aswstereomatch_tpu.config import StereoConfig
     from aswstereomatch_tpu.models import pipeline
@@ -131,6 +131,7 @@ def run_bench(preset: str, iters: int, save: bool = True) -> dict:
         # jnp path at KITTI scale needs row streaming to fit HBM (the fused
         # Pallas kernel needs none of this).
         y_chunks=g.get("y_chunks", 1),
+        backend=backend,
     )
     pair = synthetic.make_pair(
         height=g["height"], width=g["width"], max_disparity=g["max_disparity"], seed=0
@@ -163,6 +164,10 @@ def run_bench(preset: str, iters: int, save: bool = True) -> dict:
     base = _numpy_asw_reference_rate() * (
         _work(**GEOM["kitti"]) / _work(**g)
     )
+    # Achieved aggregation throughput vs the VPU-bound analysis
+    # (docs/ARCHITECTURE.md): symmetric ASW is ~5 flops per (pixel, window
+    # tap, disparity) of pure VPU work.
+    flops = _work(**g) * 5.0
     result = {
         "metric": f"stereo pairs/s/chip, {preset} ({g['width']}x{g['height']}, "
         f"D={g['max_disparity']}, ASW {2*g['window_radius']+1}x"
@@ -171,11 +176,13 @@ def run_bench(preset: str, iters: int, save: bool = True) -> dict:
         "unit": "pairs/s/chip",
         "vs_baseline": round(rate / base, 2),
     }
+    achieved_tflops = flops * rate / 1e12
     if save:
         os.makedirs(BENCH_DIR, exist_ok=True)
         detail = dict(
             result,
             preset=preset,
+            backend=backend,
             best_s=best,
             mean_s=float(np.mean(times)),
             compile_s=compile_s,
@@ -183,6 +190,7 @@ def run_bench(preset: str, iters: int, save: bool = True) -> dict:
             device=str(jax.devices()[0]),
             backend_cfg_hash=cfg.config_hash(),
             baseline_pairs_per_s=base,
+            achieved_window_tflops=round(achieved_tflops, 3),
         )
         with open(os.path.join(BENCH_DIR, f"bench_{preset}.json"), "w") as f:
             json.dump(detail, f, indent=2)
@@ -193,8 +201,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="kitti", choices=sorted(GEOM))
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     args = ap.parse_args()
-    result = run_bench(args.preset, args.iters)
+    result = run_bench(args.preset, args.iters, backend=args.backend)
     print(json.dumps(result))
 
 

@@ -103,12 +103,13 @@ int sio_read_pnm(const char* path, float* out) {
     const unsigned char* src = b.data() + pos;
     for (size_t i = 0; i < n; ++i) out[i] = static_cast<float>(src[i]);
   } else {
+    // 16-bit samples stay raw (big-endian per PNM): callers apply dataset
+    // scale conventions (matches utils/io.py read_pnm).
     if (b.size() - pos < 2 * n) return 3;
     const unsigned char* src = b.data() + pos;
-    const float scale = 255.0f / static_cast<float>(maxval);
     for (size_t i = 0; i < n; ++i) {
       uint16_t v = static_cast<uint16_t>((src[2 * i] << 8) | src[2 * i + 1]);
-      out[i] = std::nearbyint(v * scale);  // pin to the 8-bit grid
+      out[i] = static_cast<float>(v);
     }
   }
   return 0;
