@@ -75,10 +75,11 @@ def bilateral_planes_from_lab(lab_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.nd
     virtual padded plane) — identical math either way.  Returns (H, We, O).
     """
     r = cfg.window_radius
+    we = lab_ext.shape[-2]
     d2 = None
     for c in range(3):
         p = _patches_2d(lab_ext[..., c], r, x_valid=True)
-        diff = p - lab_ext[..., r:-r, c : c + 1]
+        diff = p - lab_ext[..., r : we - r, c : c + 1]  # ([r:-r] breaks at r=0)
         d2 = diff * diff if d2 is None else d2 + diff * diff
     dcolor = jnp.sqrt(d2)
     sw = jnp.asarray(_spatial_weights(cfg))

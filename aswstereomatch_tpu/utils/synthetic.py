@@ -79,9 +79,11 @@ def make_pair(
     rng = np.random.default_rng(seed)
     h, w = height, width
     d_bg = 1.0 if max_disparity > 2 else 0.0
-    # Layer disparities strictly increasing (nearer layers later).
-    max_d = float(max_disparity - 2)
-    ds = np.sort(rng.uniform(d_bg + 1, max_d, size=num_layers))
+    # Layer disparities strictly increasing (nearer layers later); degrade
+    # gracefully for tiny disparity ranges (layers collapse toward d_bg).
+    max_d = max(float(max_disparity - 2), d_bg)
+    lo = min(d_bg + 1.0, max_d)
+    ds = np.sort(rng.uniform(lo, max(max_d, lo + 1e-6), size=num_layers))
     if not fractional:
         ds = np.round(ds)
         d_bg = round(d_bg)

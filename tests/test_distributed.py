@@ -42,8 +42,9 @@ _WORKER = textwrap.dedent(
         max_disparity=8, cost="tad_grad", aggregation="asw", window_radius=2,
         lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
     )
+    # batch >= 16 pairs, per BASELINE config 5
     pairs = [synthetic.make_pair(height=32, width=48, max_disparity=8, seed=s)
-             for s in range(4)]
+             for s in range(16)]
     lefts = np.stack([p["left"] for p in pairs])
     rights = np.stack([p["right"] for p in pairs])
 

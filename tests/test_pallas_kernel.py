@@ -138,3 +138,25 @@ def test_pallas_batch_matches_single():
             )
         )
         np.testing.assert_allclose(outs[i], ref, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "r,D,shape",
+    [
+        (0, 2, (13, 24)),   # degenerate window, odd height
+        (1, 4, (11, 40)),   # minimal real window
+        (2, 8, (8, 128)),   # exactly one tile
+    ],
+    ids=["r0_d2", "r1_d4", "one_tile"],
+)
+def test_kernel_edge_geometries(r, D, shape):
+    cfg = CFG.replace(max_disparity=D, window_radius=r)
+    h, w = shape
+    pair = synthetic.make_pair(height=h, width=w, max_disparity=D, seed=6,
+                               num_layers=1)
+    l, rr = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = J(asw_kernel.wta_outputs, cfg=cfg)(l, rr)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, rr))
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), np.argmin(vol, -1))
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(np.asarray(outs["rbestd"]), np.argmin(volr, -1))

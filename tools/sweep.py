@@ -1,0 +1,129 @@
+"""Dataset sweep with checkpoint/resume — the production batch driver.
+
+Runs a configured matcher over every pair in a directory, with the sweep
+manifest (utils/manifest.py) making the job resumable after any crash /
+preemption (SURVEY.md section 5: recovery is re-dispatch of unfinished
+pairs).  Pairs follow the layout ``<dir>/<id>_left.<ext>`` +
+``<dir>/<id>_right.<ext>`` with optional ``<id>_gt.pfm``; disparity maps are
+written as ``<id>_disp.pfm`` next to a JSON metrics record per pair.
+
+``--make-synthetic N`` first materializes a demo dataset of N synthetic
+pairs (with exact GT) so the tool is runnable end-to-end in this
+environment.
+
+Usage:
+  python tools/sweep.py --dir /tmp/sweepdata --make-synthetic 8 \\
+      --preset middlebury_asw_full --max-disparity 16 --window-radius 4
+  # interrupt and re-run: completed pairs are skipped via the manifest
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import glob
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_synthetic_dataset(dir_: str, n: int, height: int, width: int, max_d: int):
+    from aswstereomatch_tpu.utils import io, synthetic
+
+    os.makedirs(dir_, exist_ok=True)
+    for i in range(n):
+        pid = f"pair{i:04d}"
+        pair = synthetic.make_pair(
+            height=height, width=width, max_disparity=max_d, seed=i
+        )
+        for side in ("left", "right"):
+            arr = pair[side].astype(np.uint8)
+            with open(os.path.join(dir_, f"{pid}_{side}.ppm"), "wb") as f:
+                f.write(b"P6\n%d %d\n255\n" % (arr.shape[1], arr.shape[0]))
+                f.write(arr.tobytes())
+        io.write_pfm(os.path.join(dir_, f"{pid}_gt.pfm"), pair["gt"])
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dir", required=True)
+    ap.add_argument("--make-synthetic", type=int, default=0)
+    ap.add_argument("--height", type=int, default=96)
+    ap.add_argument("--width", type=int, default=128)
+    ap.add_argument("--preset", default="middlebury_asw_full")
+    ap.add_argument("--max-disparity", type=int)
+    ap.add_argument("--window-radius", type=int)
+    ap.add_argument("--backend", choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--manifest", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from aswstereomatch_tpu.config import get_preset
+    from aswstereomatch_tpu.models import pipeline
+    from aswstereomatch_tpu.utils import evaluate, io, manifest
+    from aswstereomatch_tpu.utils import native
+
+    cfg = get_preset(args.preset)
+    overrides = {
+        k: getattr(args, k)
+        for k in ("max_disparity", "window_radius", "backend")
+        if getattr(args, k) is not None
+    }
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    if args.make_synthetic:
+        make_synthetic_dataset(
+            args.dir, args.make_synthetic, args.height, args.width,
+            cfg.max_disparity,
+        )
+
+    read = native.read_pnm if native.available() else io.read_pnm
+    pair_ids = sorted(
+        os.path.basename(p)[: -len("_left.ppm")]
+        for p in glob.glob(os.path.join(args.dir, "*_left.ppm"))
+    )
+    if not pair_ids:
+        print(f"no pairs found in {args.dir}", file=sys.stderr)
+        return 2
+
+    fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+
+    def process(pid: str) -> dict:
+        left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
+        right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
+        disp = np.asarray(fn(jnp.asarray(left), jnp.asarray(right)))
+        io.write_pfm(os.path.join(args.dir, f"{pid}_disp.pfm"), disp)
+        rec = {"id": pid}
+        gt_path = os.path.join(args.dir, f"{pid}_gt.pfm")
+        if os.path.exists(gt_path):
+            gt = io.read_pfm(gt_path)
+            rec.update(
+                {k: round(v, 5) for k, v in evaluate.bad_report(disp, gt).items()}
+            )
+        return rec
+
+    mpath = args.manifest or os.path.join(args.dir, "sweep_manifest.json")
+    results = manifest.run_sweep(
+        pair_ids, process, mpath, cfg.config_hash(), flush_every=1
+    )
+    done = [r for r in results.values() if r]
+    bad2 = [r["bad_2"] for r in done if "bad_2" in r]
+    summary = {
+        "pairs": len(done),
+        "mean_bad_2": round(float(np.mean(bad2)), 5) if bad2 else None,
+        "config_hash": cfg.config_hash(),
+        "manifest": mpath,
+    }
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
