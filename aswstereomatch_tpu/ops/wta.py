@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..config import StereoConfig
-
 
 def wta(vol: jnp.ndarray) -> jnp.ndarray:
     """(H, W, D) -> int32 (H, W) argmin (first minimum wins, like np.argmin)."""

@@ -25,7 +25,7 @@ machine to recover.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

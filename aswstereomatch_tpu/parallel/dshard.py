@@ -22,14 +22,13 @@ from __future__ import annotations
 
 import functools
 
-import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import StereoConfig
 from ..models import pipeline
-from ..ops import aggregate, postprocess, wta
+from ..ops import aggregate, postprocess
 from . import mesh as mesh_lib
 
 

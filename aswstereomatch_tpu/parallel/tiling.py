@@ -28,7 +28,6 @@ single-device pipeline (models/pipeline.py) — same ops, same f32 order.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

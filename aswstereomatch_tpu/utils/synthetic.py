@@ -12,7 +12,7 @@ mirror the BASELINE configs.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import numpy as np
 

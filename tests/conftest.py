@@ -21,7 +21,6 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
-import numpy as np
 import pytest
 
 from aswstereomatch_tpu.utils import synthetic

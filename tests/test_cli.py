@@ -1,10 +1,8 @@
 """CLI driver smoke tests (in-process, tiny geometry, CPU)."""
 
 import json
-import sys
 
 import numpy as np
-import pytest
 
 import cli as cli_mod
 from aswstereomatch_tpu.utils import io, synthetic

@@ -1,6 +1,5 @@
 """utils coverage: sweep manifests (resume/atomicity), GT I/O, profiling."""
 
-import json
 import os
 
 import numpy as np
