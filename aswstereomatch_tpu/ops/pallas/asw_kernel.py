@@ -94,9 +94,9 @@ def _row_window(x, start, size: int):
 
 
 def supports(cfg: StereoConfig) -> bool:
-    """The fused kernel covers the ASW configs (both weight modes, both
-    costs).  Box/none aggregation stays on the (already fast) jnp path."""
-    return cfg.aggregation == "asw"
+    """The fused kernels cover ASW (both weight modes) and box aggregation,
+    for both costs.  aggregation='none' stays on the jnp path."""
+    return cfg.aggregation in ("asw", "box")
 
 
 def _interpret() -> bool:
@@ -132,18 +132,17 @@ def _kernel(
     cp_ref,      # (1, TY, TX) f32  cost at best+1
     rbestc_ref,  # (1, TY, TXR) f32 right-view partial
     rbestd_ref,  # (1, TY, TXR) i32
-    cost_sc,     # (D, PH, PWL) f32 scratch
-    num_sc,      # (D, TY, TX)
-    den_sc,      # (D, TY, TX)
-    slrow_sc,    # (K, TY, TX)
-    srrow_sc,    # (K, TY, TXR)
-    prev_sc,     # (TY, TX)
-    *,
+    *scratch,    # asw: cost, num, den, slrow, srrow, prev; box: cost, prev
     cfg: StereoConfig,
     nx: int,
     width: int,
     ty: int,
 ):
+    if cfg.aggregation == "box":
+        cost_sc, prev_sc = scratch
+        num_sc = den_sc = slrow_sc = srrow_sc = None
+    else:
+        cost_sc, num_sc, den_sc, slrow_sc, srrow_sc, prev_sc = scratch
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
@@ -181,15 +180,34 @@ def _kernel(
 
     lax.fori_loop(0, D, cost_body, (), unroll=False)
 
-    # ---- 2. init accumulators ----------------------------------------------
-    num_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
-    den_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
+    if cfg.aggregation == "box":
+        # Box mean: separable 33+33 static-shift adds per disparity, fused
+        # directly into the WTA loop — no (D, TY, TX) accumulators needed.
+        inv_n = np.float32(1.0 / (K * K))
 
-    # ---- 3. weight rows + (dy, d, dx) accumulation -------------------------
-    _accumulate(
-        cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
-        slrow_sc, srrow_sc, ty,
-    )
+        def agg_of_d(d):
+            plane = cost_sc[d]  # (PH, PWL) value
+            v = plane[0:TY, :]
+            for k in range(1, K):
+                v = v + plane[k : k + TY, :]
+            hsum = v[:, 0:TX]
+            for dx in range(1, K):
+                hsum = hsum + v[:, dx : dx + TX]
+            return hsum * inv_n
+
+    else:
+        # ---- 2. init accumulators ------------------------------------------
+        num_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
+        den_sc[...] = jnp.zeros((D, TY, TX), jnp.float32)
+
+        # ---- 3. weight rows + (dy, d, dx) accumulation ---------------------
+        _accumulate(
+            cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
+            slrow_sc, srrow_sc, ty,
+        )
+
+        def agg_of_d(d):
+            return num_sc[d] / den_sc[d]
 
     # ---- 4. online dual-view WTA + subpixel triple -------------------------
     t = pl.program_id(0)
@@ -207,7 +225,7 @@ def _kernel(
     rbestd_ref[0] = jnp.zeros((TY, TXR), jnp.int32)
 
     def wta_body(d, _):
-        agg = num_sc[d] / den_sc[d]  # (TY, TX)
+        agg = agg_of_d(d)  # (TY, TX)
         # left view: pending C(d*+1) capture, then strict-< update
         bd = bestd_ref[0]
         bc = bestc_ref[0]
@@ -319,7 +337,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
       rbestd                — right-view WTA (volume reuse), for the LR check
     """
     if not supports(cfg):
-        raise ValueError("pallas kernel requires aggregation='asw'")
+        raise ValueError("pallas kernels require aggregation 'asw' or 'box'")
     H, W = left.shape[:2]
     r = cfg.window_radius
     D = cfg.max_disparity
@@ -374,15 +392,22 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
     ]
-    scratch = [
-        pltpu.VMEM((D, PH, PWL), jnp.float32),   # cost
-        pltpu.VMEM((D, TY, TX), jnp.float32),    # num
-        pltpu.VMEM((D, TY, TX), jnp.float32),    # den
-        pltpu.VMEM((K, TY, TX), jnp.float32),    # sl row
-        pltpu.VMEM((K, TY, TXR), jnp.float32),   # sr row
-        pltpu.VMEM((TY, TX), jnp.float32),       # prev agg plane
-    ]
-    flops_tile = K * K * D * TY * TX * (5 if cfg.asw_symmetric else 4)
+    if cfg.aggregation == "box":
+        scratch = [
+            pltpu.VMEM((D, PH, PWL), jnp.float32),   # cost
+            pltpu.VMEM((TY, TX), jnp.float32),       # prev agg plane
+        ]
+        flops_tile = 2 * K * D * TY * TX  # separable box
+    else:
+        scratch = [
+            pltpu.VMEM((D, PH, PWL), jnp.float32),   # cost
+            pltpu.VMEM((D, TY, TX), jnp.float32),    # num
+            pltpu.VMEM((D, TY, TX), jnp.float32),    # den
+            pltpu.VMEM((K, TY, TX), jnp.float32),    # sl row
+            pltpu.VMEM((K, TY, TXR), jnp.float32),   # sr row
+            pltpu.VMEM((TY, TX), jnp.float32),       # prev agg plane
+        ]
+        flops_tile = K * K * D * TY * TX * (5 if cfg.asw_symmetric else 4)
     bestc, bestd, cm, cp, rbestc, rbestd = pl.pallas_call(
         kern,
         grid=(T,),

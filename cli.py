@@ -49,6 +49,10 @@ def build_parser():
     run = ap.add_argument_group("execution")
     run.add_argument("--mesh", default=None,
                      help="DATAxTILE device mesh, e.g. 1x4 (uses shard_map tiling)")
+    run.add_argument("--shard-axis", default="y", choices=["y", "x", "d"],
+                     help="what the mesh 'tile' axis shards: image rows (y), "
+                          "image columns with the D_max halo (x), or the "
+                          "disparity axis (d)")
     run.add_argument("--iters", type=int, default=1, help="timing iterations")
     run.add_argument("--profile", help="write a jax.profiler trace to this dir")
     out = ap.add_argument_group("output")
@@ -110,11 +114,16 @@ def main(argv=None):
     # ---- run ----------------------------------------------------------------
     l_dev, r_dev = jnp.asarray(left), jnp.asarray(right)
     if args.mesh:
+        from aswstereomatch_tpu.parallel import dshard
+
         nd, nt = (int(v) for v in args.mesh.lower().split("x"))
         m = mesh_lib.build_mesh(data=nd, tile=nt)
-        fn = jax.jit(
-            functools.partial(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)
-        )
+        tiled_fn = {
+            "y": tiling.match_pair_tiled,
+            "x": tiling.match_pair_tiled_x,
+            "d": dshard.match_pair_dsharded,
+        }[args.shard_axis]
+        fn = jax.jit(functools.partial(tiled_fn, cfg=cfg, device_mesh=m))
     else:
         fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
 

@@ -58,3 +58,14 @@ def test_cli_mesh_run(tmp_path):
 
 def test_cli_missing_inputs():
     assert run_cli([]) == 2
+
+
+def test_cli_shard_axes(tmp_path):
+    for axis in ("y", "x", "d"):
+        rc = run_cli([
+            "--synthetic", "tsukuba", "--max-disparity", "8",
+            "--aggregation", "asw", "--window-radius", "2", "--no-postprocess",
+            "--mesh", "1x4", "--shard-axis", axis,
+            "--json", str(tmp_path / f"{axis}.json"),
+        ])
+        assert rc == 0, axis

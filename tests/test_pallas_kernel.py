@@ -88,7 +88,7 @@ def test_pipeline_pallas_matches_jnp_end_to_end():
 
 
 def test_kernel_rejects_unsupported():
-    cfg = CFG.replace(aggregation="box")
+    cfg = CFG.replace(aggregation="none")
     assert not asw_kernel.supports(cfg)
     with pytest.raises(ValueError):
         asw_kernel.wta_outputs(jnp.zeros((8, 8, 3)), jnp.zeros((8, 8, 3)), cfg)
@@ -160,3 +160,31 @@ def test_kernel_edge_geometries(r, D, shape):
     np.testing.assert_array_equal(np.asarray(outs["bestd"]), np.argmin(vol, -1))
     volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
     np.testing.assert_array_equal(np.asarray(outs["rbestd"]), np.argmin(volr, -1))
+
+
+@pytest.mark.parametrize("cost_kind", ["ad", "tad_grad"])
+def test_box_kernel_matches_jnp_volume(cost_kind):
+    cfg = CFG.replace(aggregation="box", cost=cost_kind, window_radius=3)
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=12)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = J(asw_kernel.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+    bd_ref = np.argmin(vol, -1)
+    assert (np.asarray(outs["bestd"]) == bd_ref).mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    assert (np.asarray(outs["rbestd"]) == np.argmin(volr, -1)).mean() > 0.999
+
+
+def test_box_pipeline_pallas_matches_jnp():
+    cfg = CFG.replace(
+        aggregation="box", window_radius=3, backend="pallas",
+        lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
+    )
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=13)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    d_pal = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    d_jnp = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(backend="jnp"))(l, r))
+    assert np.mean(np.abs(d_pal - d_jnp) <= 0.51) > 0.99
