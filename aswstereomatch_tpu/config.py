@@ -93,15 +93,16 @@ class StereoConfig:
     median_filter: bool = True         # final 3x3 median
     median_mode: str = "plain"         # "plain" | "weighted" (bilateral-
                                        # guided 3x3 weighted median)
-    # ---- numerics / memory --------------------------------------------------
-    compute_dtype: str = "float32"     # accumulation dtype for cost/weights
+    # ---- memory -------------------------------------------------------------
     y_chunks: int = 1                  # >1: stream row bands sequentially per
                                        # device (bounds peak HBM; bit-exact)
     # ---- parallelism (SURVEY section 2.2; no reference analog) --------------
+    # Deployment layout consumed by parallel.mesh.mesh_from_config /
+    # parallel.api.sharded_matcher: how many chips along each mesh axis and
+    # which image axis "tile" shards ("d" = disparity-axis sharding).
     mesh_data: int = 1                 # chips along the batch ("data") axis
     mesh_tile: int = 1                 # chips along the spatial ("tile") axis
-    tile_axis: str = "y"               # image axis sharded by "tile": "y"|"x"
-    disparity_shards: int = 1          # optional TP-analog split of the D axis
+    tile_axis: str = "y"               # what "tile" shards: "y" | "x" | "d"
     # ---- backend selection --------------------------------------------------
     backend: str = "auto"              # "auto" | "jnp" | "pallas"
 
@@ -110,8 +111,8 @@ class StereoConfig:
             raise ValueError(f"unknown cost {self.cost!r}")
         if self.aggregation not in ("none", "box", "asw"):
             raise ValueError(f"unknown aggregation {self.aggregation!r}")
-        if self.tile_axis not in ("y", "x"):
-            raise ValueError(f"tile_axis must be 'y' or 'x'")
+        if self.tile_axis not in ("y", "x", "d"):
+            raise ValueError("tile_axis must be 'y', 'x' or 'd'")
         if self.max_disparity < 1:
             raise ValueError("max_disparity must be >= 1")
         if self.window_radius < 0:

@@ -1,1 +1,1 @@
-from . import mesh, tiling  # noqa: F401
+from . import api, dshard, mesh, reshard, tiling  # noqa: F401

@@ -43,3 +43,8 @@ def build_mesh(
 
 def single_device_mesh() -> Mesh:
     return build_mesh(1, 1)
+
+
+def mesh_from_config(cfg) -> Mesh:
+    """Mesh for a StereoConfig's declared (mesh_data, mesh_tile) layout."""
+    return build_mesh(data=cfg.mesh_data, tile=cfg.mesh_tile)

@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import functools
 import json
 import sys
 import time
@@ -69,9 +68,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from aswstereomatch_tpu import StereoConfig, get_preset
-    from aswstereomatch_tpu.models import pipeline
-    from aswstereomatch_tpu.parallel import mesh as mesh_lib
-    from aswstereomatch_tpu.parallel import tiling
+    from aswstereomatch_tpu.parallel import api as parallel_api
     from aswstereomatch_tpu.utils import evaluate, io, profiling, synthetic
 
     # ---- inputs -------------------------------------------------------------
@@ -114,18 +111,9 @@ def main(argv=None):
     # ---- run ----------------------------------------------------------------
     l_dev, r_dev = jnp.asarray(left), jnp.asarray(right)
     if args.mesh:
-        from aswstereomatch_tpu.parallel import dshard
-
         nd, nt = (int(v) for v in args.mesh.lower().split("x"))
-        m = mesh_lib.build_mesh(data=nd, tile=nt)
-        tiled_fn = {
-            "y": tiling.match_pair_tiled,
-            "x": tiling.match_pair_tiled_x,
-            "d": dshard.match_pair_dsharded,
-        }[args.shard_axis]
-        fn = jax.jit(functools.partial(tiled_fn, cfg=cfg, device_mesh=m))
-    else:
-        fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+        cfg = cfg.replace(mesh_data=nd, mesh_tile=nt, tile_axis=args.shard_axis)
+    fn = jax.jit(parallel_api.sharded_match_fn(cfg))
 
     t0 = time.perf_counter()
     disp = fn(l_dev, r_dev)

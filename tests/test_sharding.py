@@ -205,3 +205,31 @@ def test_reshard_roundtrip_and_layout(pair96):
     np.testing.assert_array_equal(np.asarray(vd), vol)
     back = J(reshard.d_to_x, device_mesh=m)(vd)
     np.testing.assert_array_equal(np.asarray(back), vol)
+
+
+def test_config_driven_sharded_api(pair96):
+    """parallel.api: the config's declared mesh layout drives the run."""
+    from aswstereomatch_tpu.parallel import api
+
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=CFG_FULL)(left, right))
+    for axis in ("y", "d"):
+        cfg = CFG_FULL.replace(mesh_data=1, mesh_tile=4, tile_axis=axis)
+        out = np.asarray(jax.jit(api.sharded_match_fn(cfg))(left, right))
+        np.testing.assert_array_equal(out, ref)
+    # 1x1 layout falls back to the plain pipeline
+    fn = api.sharded_match_fn(CFG_FULL)
+    np.testing.assert_array_equal(np.asarray(jax.jit(fn)(left, right)), ref)
+
+
+def test_sharded_api_fallback_warns(pair96):
+    from aswstereomatch_tpu.parallel import api
+
+    cfg = CFG_FULL.replace(mesh_data=16, mesh_tile=16)  # > 8 devices
+    with pytest.warns(UserWarning, match="running unsharded"):
+        fn = api.sharded_match_fn(cfg)
+    out = jax.jit(fn)(
+        jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"])
+    )
+    assert out.shape == pair96["gt"].shape
