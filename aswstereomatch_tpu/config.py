@@ -139,15 +139,15 @@ class StereoConfig:
 
     @property
     def halo_x(self) -> Tuple[int, int]:
-        """(left, right) columns of halo an x-tile needs on the *left* image.
+        """(left, right) columns of image halo an x-tile needs.
 
-        The right image additionally needs ``max_disparity`` extra columns of
-        left-halo (matching window reaches x - D + 1); see
-        ``parallel/tiling.py``.
+        The left channel stack needs the aggregation radius each side; the
+        right stack additionally needs ``max_disparity - 1`` columns of left
+        halo (the matching window reaches x - D + 1) — see
+        ``parallel/tiling.py::match_pair_tiled_x``.
         """
-        r = (self.window_radius if self.aggregation != "none" else 0) + 1
-        m = 1 if self.median_filter else 0
-        return (r + m, r + m)
+        r = self.window_radius if self.aggregation != "none" else 0
+        return (r + self.max_disparity - 1, r)
 
     def config_hash(self) -> str:
         """Stable short hash for observability / manifest keys."""

@@ -258,12 +258,13 @@ def match_pair_tiled_x(
     n = device_mesh.shape[axis]
     r = cfg.window_radius
     D = cfg.max_disparity
+    hl_right, hr = cfg.halo_x  # right-stack halos: (r + D - 1, r)
     h, w = left.shape[:2]
     pad = (-w) % n
     ws = (w + pad) // n
-    if r + D - 1 > ws:
+    if hl_right > ws:
         raise ValueError(
-            f"right-image halo {r + D - 1} exceeds {ws} cols/shard; "
+            f"right-image halo {hl_right} exceeds {ws} cols/shard; "
             "use fewer x-shards"
         )
 
@@ -286,8 +287,8 @@ def match_pair_tiled_x(
     def run(l_blk, r_blk):
         k = lax.axis_index(axis)
         x0 = k * ws  # global column of this shard's first owned column
-        l_ext = _exchange_halos_x(l_blk, r, r, axis)
-        r_ext = _exchange_halos_x(r_blk, r + D - 1, r, axis)
+        l_ext = _exchange_halos_x(l_blk, hr, hr, axis)
+        r_ext = _exchange_halos_x(r_blk, hl_right, hr, axis)
         vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
 
         outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes

@@ -108,8 +108,9 @@ def test_fill_and_median_match_oracle(small_pair):
         CFG_TAD,
         CFG_TAD.replace(lr_check=False, fill_holes=False),
         CFG_TAD.replace(subpixel=False, median_filter=False),
+        CFG_TAD.replace(aggregation="none"),
     ],
-    ids=["ad_box", "asw_full", "asw_nopost", "asw_nosubpix"],
+    ids=["ad_box", "asw_full", "asw_nopost", "asw_nosubpix", "none_agg"],
 )
 def test_full_pipeline_matches_oracle(small_pair, cfg):
     left, right = small_pair["left"], small_pair["right"]
