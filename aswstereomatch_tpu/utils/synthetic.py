@@ -156,6 +156,46 @@ def make_pair(
     }
 
 
+def make_slanted_pair(
+    height: int = 96,
+    width: int = 128,
+    max_disparity: int = 16,
+    seed: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Stereo pair over a slanted textured plane: disparity varies linearly
+    across the image (d = a + b*x + c*y), exercising subpixel interpolation
+    and smoothness-sensitive stages far harder than constant-d layers.
+
+    Ground truth is exact; the right view is rendered by linear resampling
+    of a wide canvas, then quantized to the 8-bit grid (adds <=0.5-intensity
+    sampling noise, which is the realistic imaging condition).
+    """
+    rng = np.random.default_rng(seed)
+    d_lo = max_disparity * 0.15
+    d_hi = max_disparity * 0.80
+    # plane d(x, y) = a(y) + bx*x, kept inside [0, D-1] by construction
+    bx = rng.uniform(0.3, 1.0) * (d_hi - d_lo) / (2 * width)
+    by = rng.uniform(-0.3, 0.3) * (d_hi - d_lo) / (2 * height)
+    y = np.arange(height)[:, None].astype(np.float64)
+    x = np.arange(width)[None, :].astype(np.float64)
+    a_row = d_lo + by * (y - height / 2)  # (H, 1)
+    gt = (a_row + bx * x).astype(np.float32)
+    assert gt.min() >= 0 and gt.max() <= max_disparity - 1
+
+    canvas = _texture(rng, height, width + max_disparity + 2, octaves=5)
+    left = canvas[:, :width]
+    # exact correspondence: right pixel u shows scene at the left pixel x(u)
+    # solving x - d(x, y) = u  =>  x = (u + a(y)) / (1 - bx)
+    xs = ((x + a_row) / (1.0 - bx)).astype(np.float32)
+    right = np.round(_sample_x(canvas, xs))
+    return {
+        "left": np.round(left).astype(np.float32),
+        "right": right.astype(np.float32),
+        "gt": gt,
+        "occluded": np.zeros((height, width), bool),
+    }
+
+
 # Geometry presets mirroring the BASELINE configs' datasets.
 GEOMETRIES = {
     "tsukuba": (288, 384, 16),

@@ -188,3 +188,29 @@ def test_box_pipeline_pallas_matches_jnp():
     d_pal = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
     d_jnp = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(backend="jnp"))(l, r))
     assert np.mean(np.abs(d_pal - d_jnp) <= 0.51) > 0.99
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kernel_fuzz_random_configs(seed):
+    """Random small configs: kernel argmin must track the jnp volume."""
+    rng = np.random.default_rng(100 + seed)
+    cfg = CFG.replace(
+        max_disparity=int(rng.choice([4, 8, 12])),
+        window_radius=int(rng.choice([1, 2, 3])),
+        cost=str(rng.choice(["ad", "tad_grad"])),
+        asw_symmetric=bool(rng.choice([True, False])),
+        aggregation=str(rng.choice(["asw", "box"])),
+        gamma_color=float(rng.uniform(5, 30)),
+        gamma_spatial=float(rng.uniform(5, 40)),
+        alpha=float(rng.uniform(0.5, 1.0)),
+    )
+    h = int(rng.integers(10, 30))
+    w = int(rng.integers(20, 60))
+    pair = synthetic.make_pair(height=h, width=w,
+                               max_disparity=cfg.max_disparity, seed=seed)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = J(asw_kernel.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+    assert (np.asarray(outs["bestd"]) == np.argmin(vol, -1)).mean() > 0.999
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    assert (np.asarray(outs["rbestd"]) == np.argmin(volr, -1)).mean() > 0.999

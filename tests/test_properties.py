@@ -97,3 +97,35 @@ def test_lr_mirror_symmetry():
     v1 = np.bincount(d1.astype(int).ravel(), minlength=10) / d1.size
     v2 = np.bincount(d2[:, ::-1].astype(int).ravel(), minlength=10) / d2.size
     assert np.abs(v1 - v2).sum() < 0.2
+
+
+def test_slanted_plane_subpixel_accuracy():
+    """Slanted-plane scene: subpixel refinement should track a linear
+    disparity gradient to sub-pixel EPE; the integer-only pipeline can't."""
+    pair = synthetic.make_slanted_pair(height=64, width=96, max_disparity=16,
+                                       seed=3)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    base = StereoConfig(
+        max_disparity=16, cost="tad_grad", aggregation="asw", window_radius=4,
+        gamma_color=14.0, gamma_spatial=9.0,
+        lr_check=True, fill_holes=True, median_filter=True,
+    )
+    d_sub = np.asarray(J(pipeline.match_pair, cfg=base.replace(subpixel=True))(l, r))
+    d_int = np.asarray(J(pipeline.match_pair, cfg=base.replace(subpixel=False))(l, r))
+    gt = pair["gt"]
+    interior = (slice(8, -8), slice(16, -8))
+    epe_sub = np.abs(d_sub - gt)[interior].mean()
+    epe_int = np.abs(d_int - gt)[interior].mean()
+    assert epe_sub < 0.25, f"subpixel EPE {epe_sub:.3f}"
+    assert epe_sub < epe_int, (epe_sub, epe_int)
+
+
+def test_slanted_pair_selfconsistency():
+    """The generator's GT satisfies the correspondence equation exactly."""
+    pair = synthetic.make_slanted_pair(height=32, width=48, max_disparity=8,
+                                       seed=1)
+    gt = pair["gt"]
+    assert gt.min() >= 0 and gt.max() <= 7
+    # gradient is smooth and monotone in x
+    dx = np.diff(gt, axis=1)
+    assert (dx > 0).all() and dx.max() < 0.2
