@@ -299,31 +299,38 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
                     d2r = d2r + diffr * diffr
                 srrow_sc[dx] = jnp.exp(-jnp.sqrt(d2r) * inv_gc) * swr[dx]
 
-        def d_body(d, _):
-            crow = _row_window(cost_sc[d], dy, TY)  # (TY, PWL) value
-            slrow = slrow_sc[...]  # one bulk read, reused across dx
-            if sym:
-                off = (D - 1) - d
-                srs = _lane_window(srrow_sc[...], off, TX)  # (K, TY, TX)
-            # 4 interleaved partial accumulators: a single running sum is a
-            # serial FMA chain (latency-bound on the VPU); independent
-            # partials restore ILP.
-            LANES = 4
-            nums = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
-            dens = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
-            for j, dx in enumerate(range(K)):
+        # Manual 2-way unroll over d: consecutive disparities share the bulk
+        # weight-row reads (the dominant VMEM traffic), differing only in the
+        # srs rotate offset and the cost row.  Per-pixel accumulation order
+        # is unchanged (d ascending), so results are bit-identical to U=1.
+        U = 2 if D % 2 == 0 else 1
+
+        def d_group(g, _):
+            slrow = slrow_sc[...]  # one bulk read per group
+            srbulk = srrow_sc[...] if sym else None
+            for u in range(U):
+                d = g * U + u
+                crow = _row_window(cost_sc[d], dy, TY)  # (TY, PWL) value
                 if sym:
-                    t_ = slrow[dx] * srs[dx]
-                else:
-                    t_ = slrow[dx]
-                k = j % LANES
-                nums[k] = nums[k] + t_ * crow[:, dx : dx + TX]
-                dens[k] = dens[k] + t_
-            num_sc[d] = num_sc[d] + ((nums[0] + nums[1]) + (nums[2] + nums[3]))
-            den_sc[d] = den_sc[d] + ((dens[0] + dens[1]) + (dens[2] + dens[3]))
+                    srs = _lane_window(srbulk, (D - 1) - d, TX)
+                # 4 interleaved partial accumulators: a single running sum
+                # is a serial FMA chain; independent partials restore ILP.
+                LANES = 4
+                nums = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
+                dens = [jnp.zeros((TY, TX), jnp.float32) for _ in range(LANES)]
+                for j, dx in enumerate(range(K)):
+                    if sym:
+                        t_ = slrow[dx] * srs[dx]
+                    else:
+                        t_ = slrow[dx]
+                    k = j % LANES
+                    nums[k] = nums[k] + t_ * crow[:, dx : dx + TX]
+                    dens[k] = dens[k] + t_
+                num_sc[d] = num_sc[d] + ((nums[0] + nums[1]) + (nums[2] + nums[3]))
+                den_sc[d] = den_sc[d] + ((dens[0] + dens[1]) + (dens[2] + dens[3]))
             return ()
 
-        lax.fori_loop(0, D, d_body, (), unroll=False)
+        lax.fori_loop(0, D // U, d_group, (), unroll=False)
         return ()
 
     lax.fori_loop(0, K, dy_body, (), unroll=False)
