@@ -1,0 +1,205 @@
+"""Minimal production serving daemon for the stereo engine.
+
+A long-lived process with a warm jit cache serving disparity requests over a
+local TCP socket with a length-prefixed binary protocol — the serving shape
+for a latency-sensitive deployment (cameras pushing rectified pairs).  One
+matcher per configured preset; first request per config pays the compile,
+the rest run at chip speed.
+
+Protocol (all little-endian):
+  request:  u32 header_len | header JSON | left f32 bytes | right f32 bytes
+            header: {"height", "width", "channels", "config": {...overrides}}
+  response: u32 header_len | header JSON | disparity f32 bytes
+            header: {"status": "ok", "height", "width", "elapsed_ms"} or
+            {"status": "error", "message"}
+
+Run:   python tools/serve.py --port 9444
+Test:  python tools/serve.py --self-test   (spawns the server, sends a pair)
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import socket
+import socketserver
+import struct
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _recv_exact(sock, n: int) -> bytes:
+    buf = bytearray()
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            raise ConnectionError("peer closed mid-message")
+        buf.extend(chunk)
+    return bytes(buf)
+
+
+def send_request(sock, left: np.ndarray, right: np.ndarray, config: dict):
+    header = {
+        "height": left.shape[0],
+        "width": left.shape[1],
+        "channels": 1 if left.ndim == 2 else left.shape[2],
+        "config": config,
+    }
+    hb = json.dumps(header).encode()
+    sock.sendall(struct.pack("<I", len(hb)))
+    sock.sendall(hb)
+    sock.sendall(np.ascontiguousarray(left, np.float32).tobytes())
+    sock.sendall(np.ascontiguousarray(right, np.float32).tobytes())
+    rlen = struct.unpack("<I", _recv_exact(sock, 4))[0]
+    rheader = json.loads(_recv_exact(sock, rlen))
+    if rheader.get("status") != "ok":
+        raise RuntimeError(rheader.get("message", "server error"))
+    n = rheader["height"] * rheader["width"] * 4
+    disp = np.frombuffer(_recv_exact(sock, n), np.float32).reshape(
+        rheader["height"], rheader["width"]
+    )
+    return disp, rheader
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self):
+        import jax
+        import jax.numpy as jnp
+
+        from aswstereomatch_tpu.config import StereoConfig
+        from aswstereomatch_tpu.models import pipeline
+        from aswstereomatch_tpu.utils import profiling
+
+        cache = self.server.fn_cache
+        while True:
+            try:
+                hlen = struct.unpack("<I", _recv_exact(self.request, 4))[0]
+            except ConnectionError:
+                return
+            try:
+                header = json.loads(_recv_exact(self.request, hlen))
+                h, w, c = header["height"], header["width"], header["channels"]
+                n = h * w * c * 4
+                left = np.frombuffer(_recv_exact(self.request, n), np.float32)
+                right = np.frombuffer(_recv_exact(self.request, n), np.float32)
+                shape = (h, w) if c == 1 else (h, w, c)
+                left = left.reshape(shape)
+                right = right.reshape(shape)
+                cfg = StereoConfig(**header.get("config", {}))
+                key = (cfg.config_hash(), shape)
+                if key not in cache:
+                    cache[key] = jax.jit(
+                        functools.partial(pipeline.match_pair, cfg=cfg)
+                    )
+                t0 = time.perf_counter()
+                disp = cache[key](jnp.asarray(left), jnp.asarray(right))
+                profiling.force_sync(disp)
+                disp = np.asarray(disp)
+                rheader = {
+                    "status": "ok",
+                    "height": disp.shape[0],
+                    "width": disp.shape[1],
+                    "elapsed_ms": round(1e3 * (time.perf_counter() - t0), 2),
+                }
+                body = disp.astype(np.float32).tobytes()
+            except Exception as e:  # report, keep serving
+                rheader = {"status": "error", "message": f"{type(e).__name__}: {e}"}
+                body = b""
+            hb = json.dumps(rheader).encode()
+            self.request.sendall(struct.pack("<I", len(hb)))
+            self.request.sendall(hb)
+            if body:
+                self.request.sendall(body)
+
+
+class Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr):
+        super().__init__(addr, _Handler)
+        self.fn_cache = {}
+
+
+def self_test(port: int) -> int:
+    import subprocess
+    import tempfile
+
+    # Server output goes to a file, not a pipe: the TPU compile helper logs
+    # enough to fill (and deadlock on) an undrained pipe.
+    log = tempfile.NamedTemporaryFile(
+        prefix="stereo_serve_", suffix=".log", delete=False
+    )
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--port", str(port)],
+        stdout=log, stderr=subprocess.STDOUT,
+    )
+    try:
+        from aswstereomatch_tpu.utils import evaluate, synthetic
+
+        pair = synthetic.make_pair(height=48, width=64, max_disparity=8, seed=0)
+        cfgdict = dict(max_disparity=8, aggregation="asw", window_radius=2,
+                       backend="jnp")
+        deadline = time.time() + 60
+        sock = None
+        while time.time() < deadline:
+            try:
+                sock = socket.create_connection(("127.0.0.1", port), timeout=2)
+                break
+            except OSError:
+                time.sleep(0.3)
+        assert sock is not None, "server did not come up"
+        sock.settimeout(300)  # first request pays the jit compile
+        with sock:
+            d1, h1 = send_request(sock, pair["left"], pair["right"], cfgdict)
+            d2, h2 = send_request(sock, pair["left"], pair["right"], cfgdict)
+            bad2 = evaluate.bad_delta(d1, pair["gt"], 2.0, ~pair["occluded"])
+            assert np.array_equal(d1, d2)
+            assert bad2 < 0.05, bad2
+            # warm path must be much faster than the compile call
+            assert h2["elapsed_ms"] < h1["elapsed_ms"]
+            # error path keeps the connection alive
+            try:
+                send_request(sock, pair["left"], pair["right"],
+                             {"aggregation": "bogus"})
+                raise AssertionError("expected error response")
+            except RuntimeError as e:
+                assert "bogus" in str(e)
+            d3, _ = send_request(sock, pair["left"], pair["right"], cfgdict)
+            assert np.array_equal(d3, d1)
+        print(json.dumps({"self_test": "ok", "bad_2": round(float(bad2), 5),
+                          "cold_ms": h1["elapsed_ms"], "warm_ms": h2["elapsed_ms"]}))
+        return 0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=9444)
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                    help="force the jax platform (the axon plugin ignores "
+                         "JAX_PLATFORMS env vars)")
+    ap.add_argument("--self-test", action="store_true")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    if args.self_test:
+        sys.exit(self_test(args.port))
+    srv = Server((args.host, args.port))
+    print(f"serving on {args.host}:{args.port}", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
