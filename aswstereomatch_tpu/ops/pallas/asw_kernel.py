@@ -126,6 +126,7 @@ def _kernel(
     lpatch_ref,  # (1, 7, PH, PWL)
     rpatch_ref,  # (1, 7, PH, PWR)
     sw_ref,      # (K, K) spatial weights (pallas constants must be inputs)
+    nvalid_ref,  # (1, 1) i32 in SMEM: count of real left columns
     bestc_ref,   # (1, TY, TX) f32
     bestd_ref,   # (1, TY, TX) i32
     cm_ref,      # (1, TY, TX) f32  cost at best-1
@@ -135,7 +136,6 @@ def _kernel(
     *scratch,    # asw: cost, num, den, slrow, srrow, prev; box: cost, prev
     cfg: StereoConfig,
     nx: int,
-    width: int,
     ty: int,
 ):
     if cfg.aggregation == "box":
@@ -214,7 +214,8 @@ def _kernel(
     ix = t % nx
     x0 = ix * TX
     xg = jax.lax.broadcasted_iota(jnp.int32, (TY, TX), 1) + x0
-    x_ok = xg <= (width - 1)  # padded left columns must not feed right view
+    # padded / out-of-shard left columns must not feed the right view
+    x_ok = xg < nvalid_ref[0, 0]
 
     bestc_ref[0] = jnp.full((TY, TX), jnp.inf, jnp.float32)
     bestd_ref[0] = jnp.zeros((TY, TX), jnp.int32)
@@ -345,7 +346,35 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     """
     if not supports(cfg):
         raise ValueError("pallas kernels require aggregation 'asw' or 'box'")
-    H, W = left.shape[:2]
+    r = cfg.window_radius
+    D = cfg.max_disparity
+    ls = _channel_stack(left)
+    rs = _channel_stack(right)
+    ls_ext = jnp.pad(ls, ((0, 0), (0, 0), (r, r)), mode="edge")
+    rs_ext = jnp.pad(rs, ((0, 0), (0, 0), (r + D - 1, r)), mode="edge")
+    return wta_outputs_from_stacks(ls_ext, rs_ext, cfg, left.shape[1])
+
+
+def wta_outputs_from_stacks(
+    ls_ext: jnp.ndarray,
+    rs_ext: jnp.ndarray,
+    cfg: StereoConfig,
+    n_valid_cols: int,
+    want_strip: bool = False,
+):
+    """Fused kernel over pre-extended channel stacks (preprocess.channel_stack
+    layout) — the entry the x-tiled shard path uses, where the extended
+    columns hold *real neighbor data* from halo exchange.
+
+    ls_ext: (7, H, Wo + 2r); rs_ext: (7, H, Wo + 2r + D - 1), Wo = owned
+    width.  ``n_valid_cols``: how many local columns are real left pixels
+    (candidates from alignment-padding columns are excluded from the right
+    view).  With ``want_strip`` the dict additionally carries the right-view
+    partial for columns [-(D-1), -1] plus the owned-region partial costs,
+    for the caller's cross-shard strict-< merge (requires D - 1 <= TILE_X).
+    """
+    H = ls_ext.shape[1]
+    W = ls_ext.shape[2] - 2 * cfg.window_radius
     r = cfg.window_radius
     D = cfg.max_disparity
     TY, TX = _tile_y(H), TILE_X
@@ -358,26 +387,25 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     PWR = _ru128(2 * r + TXR)
     K = 2 * r + 1
     T = ny * nx
+    if want_strip and D - 1 > TX:
+        raise ValueError("strip export requires max_disparity - 1 <= TILE_X")
 
-    # Padded channel stacks (virtual padded-plane semantics + alignment).
-    ls = _channel_stack(left)
-    rs = _channel_stack(right)
+    # Alignment padding only (the semantic halo columns are already present).
     pad_y = (r, r + ny * TY - H)
-    # Left stack: tile ix reads cols [ix*TX, ix*TX + PWL); origin shifted by r.
     lsp = jnp.pad(
-        ls, ((0, 0), pad_y, (r, (nx - 1) * TX + PWL - r - W)), mode="edge"
+        ls_ext,
+        ((0, 0), pad_y, (0, (nx - 1) * TX + PWL - (W + 2 * r))),
+        mode="edge",
     )
-    # Right stack: tile ix reads cols [ix*TX, ix*TX + PWR) in an origin
-    # shifted by r + D - 1.
     rsp = jnp.pad(
-        rs,
-        ((0, 0), pad_y, (r + D - 1, (nx - 1) * TX + PWR - (r + D - 1) - W)),
+        rs_ext,
+        ((0, 0), pad_y, (0, (nx - 1) * TX + PWR - (W + 2 * r + D - 1))),
         mode="edge",
     )
     ltiles = _extract_tiles(lsp, ny, nx, TY, TX, PH, PWL)
     rtiles = _extract_tiles(rsp, ny, nx, TY, TX, PH, PWR)
 
-    kern = functools.partial(_kernel, cfg=cfg, nx=nx, width=W, ty=TY)
+    kern = functools.partial(_kernel, cfg=cfg, nx=nx, ty=TY)
     out_shapes = [
         jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # bestc
         jax.ShapeDtypeStruct((T, TY, TX), jnp.int32),     # bestd
@@ -390,6 +418,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pl.BlockSpec((1, 7, PH, PWL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 7, PH, PWR), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
         pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -431,7 +460,12 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
             bytes_accessed=T * (7 * PH * (PWL + PWR) + 6 * TY * TX) * 4,
             transcendentals=T * K * K * (TY * (TX + TXR)),
         ),
-    )(ltiles, rtiles, jnp.asarray(_spatial_weights_np(cfg)))
+    )(
+        ltiles,
+        rtiles,
+        jnp.asarray(_spatial_weights_np(cfg)),
+        jnp.asarray(n_valid_cols, jnp.int32).reshape(1, 1),
+    )
 
     def assemble(tiles, w_tile):
         # (T, TY, wt) -> (H, nx*wt) crop later per-use
@@ -445,7 +479,14 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         "cm": assemble(cm, TX)[:H, :W],
         "cp": assemble(cp, TX)[:H, :W],
     }
-    out["rbestd"] = _combine_right(rbestc, rbestd, ny, nx, H, W, D)
+    own_c, own_d, strip_c, strip_d = _combine_right(
+        rbestc, rbestd, ny, nx, H, W, D
+    )
+    out["rbestd"] = own_d
+    if want_strip:
+        out["rbestc"] = own_c
+        out["r_strip_c"] = strip_c
+        out["r_strip_d"] = strip_d
     return out
 
 
@@ -495,5 +536,21 @@ def _combine_right(rbestc, rbestd, ny, nx, H, W, D):
         best_c = jnp.where(take, cand_c, best_c)
         best_d = jnp.where(take, cand_d, best_d)
 
-    out = jnp.moveaxis(best_d, 2, 1).reshape(ny * TY, nx * TX)
-    return out[:H, :W]
+    def flat(a, wt):
+        return jnp.moveaxis(a, 2, 1).reshape(ny * TY, a.shape[1] * wt)
+
+    # Partial for columns left of the local origin (x' in [-(D-1), -1]):
+    # with D - 1 <= TX these candidates live wholly in tile ix=0's lanes
+    # [0, D-1) — exported for cross-shard merges.
+    if D > 1:
+        strip_c = flat(rc[:, 0:1, :, 0 : D - 1], D - 1)[:H]
+        strip_d = flat(rd[:, 0:1, :, 0 : D - 1], D - 1)[:H]
+    else:
+        strip_c = jnp.zeros((H, 0), rc.dtype)
+        strip_d = jnp.zeros((H, 0), rd.dtype)
+    return (
+        flat(best_c, TX)[:H, :W],
+        flat(best_d, TX)[:H, :W],
+        strip_c,
+        strip_d,
+    )

@@ -277,6 +277,12 @@ def match_pair_tiled_x(
 
     spec = P(None, None, axis)
 
+    from ..models.pipeline import _resolve_backend
+
+    use_pallas = _resolve_backend(cfg) == "pallas"
+    if use_pallas:
+        from ..ops.pallas import asw_kernel
+
     @functools.partial(
         shard_map,
         mesh=device_mesh,
@@ -289,36 +295,45 @@ def match_pair_tiled_x(
         x0 = k * ws  # global column of this shard's first owned column
         l_ext = _exchange_halos_x(l_blk, hr, hr, axis)
         r_ext = _exchange_halos_x(r_blk, hl_right, hr, axis)
-        vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
 
-        outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes
+        if use_pallas:
+            n_valid = jnp.clip(w - x0, 0, ws)  # real left cols in this shard
+            kouts = asw_kernel.wta_outputs_from_stacks(
+                l_ext, r_ext, cfg, n_valid, want_strip=True
+            )
+            outs = {key: kouts[key] for key in ("bestd", "bestc", "cm", "cp")}
+            own_c, own_d = kouts["rbestc"], kouts["rbestd"]
+            strip_c, strip_d = kouts["r_strip_c"], kouts["r_strip_d"]
+        else:
+            vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
+            outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes
 
-        # Right-view partial over x' in [x0 - (D-1), x0 + ws): candidate
-        # (x', d) lives here iff left pixel x'+d is owned and real.
-        xg = x0 + jnp.arange(ws)[None, :, None]  # global owned x
-        vol_r = jnp.where(xg <= w - 1, vol, jnp.inf)  # exclude padded cols
-        jj = jnp.arange(ws + D - 1)[:, None]  # partial-buffer index
-        dd = jnp.arange(D)[None, :]
-        src = jj - (D - 1) + dd  # local left col feeding (j, d)
-        valid = (src >= 0) & (src < ws)
-        gath = jnp.take_along_axis(
-            vol_r,
-            jnp.broadcast_to(
-                jnp.clip(src, 0, ws - 1)[None], (h, ws + D - 1, D)
-            ),
-            axis=1,
-        )
-        gath = jnp.where(valid[None], gath, jnp.inf)
-        rpart_c = jnp.min(gath, axis=-1)
-        rpart_d = jnp.argmin(gath, axis=-1).astype(jnp.int32)
+            # Right-view partial over x' in [x0 - (D-1), x0 + ws): candidate
+            # (x', d) lives here iff left pixel x'+d is owned and real.
+            xg = x0 + jnp.arange(ws)[None, :, None]  # global owned x
+            vol_r = jnp.where(xg <= w - 1, vol, jnp.inf)  # exclude padding
+            jj = jnp.arange(ws + D - 1)[:, None]  # partial-buffer index
+            dd = jnp.arange(D)[None, :]
+            src = jj - (D - 1) + dd  # local left col feeding (j, d)
+            valid = (src >= 0) & (src < ws)
+            gath = jnp.take_along_axis(
+                vol_r,
+                jnp.broadcast_to(
+                    jnp.clip(src, 0, ws - 1)[None], (h, ws + D - 1, D)
+                ),
+                axis=1,
+            )
+            gath = jnp.where(valid[None], gath, jnp.inf)
+            rpart_c = jnp.min(gath, axis=-1)
+            rpart_d = jnp.argmin(gath, axis=-1).astype(jnp.int32)
+            own_c = rpart_c[:, D - 1 :]
+            own_d = rpart_d[:, D - 1 :]
+            strip_c = rpart_c[:, : D - 1]
+            strip_d = rpart_d[:, : D - 1]
 
         # Merge with the next shard's left strip (its candidates have
         # strictly larger d for the same x', so strict-< keeps first-min).
-        own_c = rpart_c[:, D - 1 :]
-        own_d = rpart_d[:, D - 1 :]
         if n > 1 and D > 1:
-            strip_c = rpart_c[:, : D - 1]
-            strip_d = rpart_d[:, : D - 1]
             nb_c = lax.ppermute(strip_c, axis, [(i, i - 1) for i in range(1, n)])
             nb_d = lax.ppermute(strip_d, axis, [(i, i - 1) for i in range(1, n)])
             nb_c = jnp.where(lax.axis_index(axis) == n - 1, jnp.inf, nb_c)

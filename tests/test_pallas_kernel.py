@@ -214,3 +214,26 @@ def test_kernel_fuzz_random_configs(seed):
     assert (np.asarray(outs["bestd"]) == np.argmin(vol, -1)).mean() > 0.999
     volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
     assert (np.asarray(outs["rbestd"]) == np.argmin(volr, -1)).mean() > 0.999
+
+
+def test_pallas_xtiled_equals_pallas_untiled_exactly():
+    """x-tiling routed through the fused kernel (stacks entry + strip
+    export) stays bit-exact vs the untiled pallas pipeline."""
+    from aswstereomatch_tpu.parallel import mesh as mesh_lib
+    from aswstereomatch_tpu.parallel import tiling
+
+    cfg = CFG.replace(
+        backend="pallas", lr_check=True, fill_holes=True,
+        subpixel=True, median_filter=True,
+    )
+    # includes a non-divisible width (alignment-pad masking via the SMEM
+    # n_valid scalar)
+    for wdt in (64, 61):
+        pair = synthetic.make_pair(height=24, width=wdt, max_disparity=8, seed=8)
+        l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+        ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+        m = mesh_lib.build_mesh(data=1, tile=2)
+        out = np.asarray(
+            J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(l, r)
+        )
+        np.testing.assert_array_equal(out, ref)
