@@ -233,3 +233,16 @@ def test_sharded_api_fallback_warns(pair96):
         jnp.asarray(pair96["left"]), jnp.asarray(pair96["right"])
     )
     assert out.shape == pair96["gt"].shape
+
+
+def test_xtiled_weighted_median_exact(pair96):
+    """x-tiling with the weighted median (gathered Lab guide) is bit-exact."""
+    cfg = CFG_FULL.replace(median_mode="weighted")
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=2)
+    out = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
