@@ -32,6 +32,10 @@ GEOM = {
     "kitti": dict(
         height=375, width=1242, max_disparity=128, window_radius=16, y_chunks=8
     ),
+    "kitti_box": dict(
+        height=375, width=1242, max_disparity=128, window_radius=16,
+        aggregation="box",
+    ),
     "middlebury": dict(height=375, width=450, max_disparity=64, window_radius=16),
     "tsukuba": dict(height=288, width=384, max_disparity=16, window_radius=16),
 }
@@ -122,7 +126,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
     cfg = StereoConfig(
         max_disparity=g["max_disparity"],
         cost="tad_grad",
-        aggregation="asw",
+        aggregation=g.get("aggregation", "asw"),
         window_radius=g["window_radius"],
         lr_check=True,
         fill_holes=True,
@@ -170,8 +174,10 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
     flops = _work(**g) * 5.0
     result = {
         "metric": f"stereo pairs/s/chip, {preset} ({g['width']}x{g['height']}, "
-        f"D={g['max_disparity']}, ASW {2*g['window_radius']+1}x"
-        f"{2*g['window_radius']+1} symmetric + full postprocess)",
+        f"D={g['max_disparity']}, {g.get('aggregation', 'asw').upper()} "
+        f"{2*g['window_radius']+1}x{2*g['window_radius']+1}"
+        f"{' symmetric' if g.get('aggregation', 'asw') == 'asw' else ''}"
+        " + full postprocess)",
         "value": round(rate, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(rate / base, 2),
