@@ -69,6 +69,13 @@ def _ru128(n: int) -> int:
     return -(-n // 128) * 128
 
 
+def _ru8(n: int) -> int:
+    """Round sublane-dimension sizes up to the f32 sublane tile: Mosaic's
+    dynamic sublane rotates need 8-aligned sublanes (caught on hardware
+    only — interpret mode doesn't enforce it)."""
+    return -(-n // 8) * 8
+
+
 def _lane_window(x, start, size: int):
     """x[..., start : start + size] with a *traced* start.
 
@@ -148,7 +155,7 @@ def _kernel(
     D = cfg.max_disparity
     TY, TX = ty, TILE_X
     TXR = _ru128(TX + D - 1)
-    PH = TY + 2 * r
+    PH = _ru8(TY + 2 * r)
     PWL = _ru128(TX + 2 * r)
     sym = cfg.asw_symmetric
 
@@ -381,7 +388,7 @@ def wta_outputs_from_stacks(
     TXR = _ru128(TX + D - 1)
     ny = math.ceil(H / TY)
     nx = math.ceil(W / TX)
-    PH = TY + 2 * r
+    PH = _ru8(TY + 2 * r)  # sublane-aligned patch height
     PWL = _ru128(TX + 2 * r)
     # right patch must cover taps [dx, dx + TXR) for dx < 2r+1
     PWR = _ru128(2 * r + TXR)
@@ -390,8 +397,9 @@ def wta_outputs_from_stacks(
     if want_strip and D - 1 > TX:
         raise ValueError("strip export requires max_disparity - 1 <= TILE_X")
 
-    # Alignment padding only (the semantic halo columns are already present).
-    pad_y = (r, r + ny * TY - H)
+    # Alignment padding only (the semantic halo columns are already present);
+    # bottom rows reach (ny-1)*TY + PH.
+    pad_y = (r, (ny - 1) * TY + PH - r - H)
     lsp = jnp.pad(
         ls_ext,
         ((0, 0), pad_y, (0, (nx - 1) * TX + PWL - (W + 2 * r))),
