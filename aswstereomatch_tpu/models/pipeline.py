@@ -103,7 +103,7 @@ def tile_disparity(
 
     left_ext/right_ext: (halo + rows + halo, W[, 3]); returns (rows, W).
     """
-    if _resolve_backend(cfg) == "pallas":
+    if _resolve_backend(cfg, left_ext.shape) == "pallas":
         from ..ops.pallas import asw_kernel
 
         outs = asw_kernel.wta_outputs(left_ext, right_ext, cfg)
@@ -155,14 +155,22 @@ def match_pair_chunked(
     return bands.reshape(n * rows, w)[:h]
 
 
-def _resolve_backend(cfg: StereoConfig) -> str:
+def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
     if cfg.backend != "auto":
         return cfg.backend
     from ..ops.pallas import asw_kernel  # local import: optional path
 
-    if asw_kernel.supports(cfg) and jax.default_backend() == "tpu":
-        return "pallas"
-    return "jnp"
+    if not (asw_kernel.supports(cfg) and jax.default_backend() == "tpu"):
+        return "jnp"
+    if cfg.aggregation == "box" and shape is not None:
+        # The fused box kernel wins 12x at KITTI scale but loses to the
+        # XLA reduce_window path on tiny problems (per-tile dispatch /
+        # patch overhead); route by window work.
+        h, w = shape[:2]
+        work = h * w * cfg.max_disparity * cfg.window_size**2
+        if work < 5e8:
+            return "jnp"
+    return "pallas"
 
 
 def _disp_pre_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
@@ -201,7 +209,7 @@ def match_pair(
     left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
 ) -> jnp.ndarray:
     """Match one rectified pair -> float32 (H, W) disparity.  Jit-friendly."""
-    backend = _resolve_backend(cfg)
+    backend = _resolve_backend(cfg, left.shape)
     if backend == "pallas":
         from ..ops.pallas import asw_kernel
 

@@ -279,7 +279,7 @@ def match_pair_tiled_x(
 
     from ..models.pipeline import _resolve_backend
 
-    use_pallas = _resolve_backend(cfg) == "pallas"
+    use_pallas = _resolve_backend(cfg, (h, ws)) == "pallas"
     if use_pallas:
         from ..ops.pallas import asw_kernel
 
