@@ -107,6 +107,23 @@ def aggregate_box(vol_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     return (summed / float(k * k)).astype(jnp.float32)
 
 
+def cost_volume_from_stacks(
+    l_stack_ext: jnp.ndarray,
+    r_stack_ext: jnp.ndarray,
+    cfg: StereoConfig,
+) -> jnp.ndarray:
+    """x-extended raw cost volume (H, W + 2r, D) from pre-extended stacks —
+    the box-aggregation input for the x-tiled path."""
+    r = cfg.window_radius
+    planes = cost_ops.planes_from_stacks(l_stack_ext, r_stack_ext, r)
+
+    def step(_, d):
+        return None, cost_ops.cost_plane(planes, d, cfg)
+
+    _, out = lax.scan(step, None, jnp.arange(cfg.max_disparity))
+    return jnp.moveaxis(out, 0, -1)
+
+
 def aggregate_asw_from_stacks(
     l_stack_ext: jnp.ndarray,
     r_stack_ext: jnp.ndarray,

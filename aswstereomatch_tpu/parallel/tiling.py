@@ -252,8 +252,8 @@ def match_pair_tiled_x(
     from ..ops import aggregate, postprocess, preprocess
     from ..ops import wta as wta_ops
 
-    if cfg.aggregation != "asw":
-        raise ValueError("x-tiling currently covers the ASW configs")
+    if cfg.aggregation not in ("asw", "box"):
+        raise ValueError("x-tiling covers the asw/box aggregations")
     axis = mesh_lib.TILE_AXIS
     n = device_mesh.shape[axis]
     r = cfg.window_radius
@@ -305,7 +305,11 @@ def match_pair_tiled_x(
             own_c, own_d = kouts["rbestc"], kouts["rbestd"]
             strip_c, strip_d = kouts["r_strip_c"], kouts["r_strip_d"]
         else:
-            vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
+            if cfg.aggregation == "box":
+                vol_ext = aggregate.cost_volume_from_stacks(l_ext, r_ext, cfg)
+                vol = aggregate.aggregate_box(vol_ext, cfg)
+            else:
+                vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
             outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes
 
             # Right-view partial over x' in [x0 - (D-1), x0 + ws): candidate

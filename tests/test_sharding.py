@@ -246,3 +246,16 @@ def test_xtiled_weighted_median_exact(pair96):
         J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_xtiled_box_exact(pair96):
+    """x-tiling with box aggregation (jnp path): bit-exact vs untiled."""
+    cfg = CFG_BOX.replace(lr_check=True, fill_holes=True, subpixel=True)
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m = mesh_lib.build_mesh(data=1, tile=2)
+    out = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
+    )
+    np.testing.assert_array_equal(out, ref)
