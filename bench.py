@@ -203,14 +203,66 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
     return result
 
 
+def _cached_fallback(preset: str):
+    """Last recorded measurement, marked stale — emitted only if a live run
+    can't complete (e.g. the TPU tunnel wedges, which was observed once this
+    round; a marked stale line beats a silent hang for the driver)."""
+    path = os.path.join(BENCH_DIR, f"bench_{preset}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        d = json.load(f)
+    return {
+        "metric": d["metric"] + " [STALE: cached earlier measurement; live "
+        "bench run did not complete before the deadline]",
+        "value": d["value"],
+        "unit": d["unit"],
+        "vs_baseline": d["vs_baseline"],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="kitti", choices=sorted(GEOM))
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
+    ap.add_argument(
+        "--deadline-s", type=float,
+        default=float(os.environ.get("BENCH_DEADLINE_S", 1800)),
+        help="hard wall-clock budget; past it, emit the cached result "
+             "marked STALE instead of hanging",
+    )
     args = ap.parse_args()
-    result = run_bench(args.preset, args.iters, backend=args.backend)
-    print(json.dumps(result))
+
+    import threading
+
+    box = {}
+
+    def work():
+        try:
+            box["result"] = run_bench(args.preset, args.iters, backend=args.backend)
+        except Exception as e:  # noqa: BLE001
+            box["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(args.deadline_s)
+    if "result" in box:
+        print(json.dumps(box["result"]))
+        return
+    fallback = _cached_fallback(args.preset)
+    if fallback is not None:
+        if "error" in box:
+            fallback["metric"] += f" [live error: {box['error'][:120]}]"
+        print(json.dumps(fallback))
+    else:
+        print(json.dumps({
+            "metric": f"bench {args.preset} failed: "
+            + box.get("error", "deadline exceeded"),
+            "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
+        }))
+    # the worker thread is daemonic; exit without waiting on a wedged device
+    os._exit(0)
 
 
 if __name__ == "__main__":
