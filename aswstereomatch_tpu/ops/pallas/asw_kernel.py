@@ -134,6 +134,7 @@ def _kernel(
     rpatch_ref,  # (1, 7, PH, PWR)
     sw_ref,      # (K, K) spatial weights (pallas constants must be inputs)
     nvalid_ref,  # (1, 1) i32 in SMEM: count of real left columns
+    dwin_ref,    # (1, 2) i32 in SMEM: [lo, hi) window of d's allowed to win
     bestc_ref,   # (1, TY, TX) f32
     bestd_ref,   # (1, TY, TX) i32
     cm_ref,      # (1, TY, TX) f32  cost at best-1
@@ -224,8 +225,10 @@ def _kernel(
     # padded / out-of-shard left columns must not feed the right view
     x_ok = xg < nvalid_ref[0, 0]
 
+    d_lo = dwin_ref[0, 0]
+    d_hi = dwin_ref[0, 1]
     bestc_ref[0] = jnp.full((TY, TX), jnp.inf, jnp.float32)
-    bestd_ref[0] = jnp.zeros((TY, TX), jnp.int32)
+    bestd_ref[0] = jnp.full((TY, TX), d_lo, jnp.int32)
     cm_ref[0] = jnp.zeros((TY, TX), jnp.float32)
     cp_ref[0] = jnp.zeros((TY, TX), jnp.float32)
     prev_sc[...] = jnp.zeros((TY, TX), jnp.float32)
@@ -234,12 +237,16 @@ def _kernel(
 
     def wta_body(d, _):
         agg = agg_of_d(d)  # (TY, TX)
+        # Disparity-shard window: every d's plane is computed (the slab
+        # carries one overlap d per side for the subpixel triple), but only
+        # in-window d's may win either view.
+        in_win = (d >= d_lo) & (d < d_hi)
         # left view: pending C(d*+1) capture, then strict-< update
         bd = bestd_ref[0]
         bc = bestc_ref[0]
         pend = bd == (d - 1)
         cp_ref[0] = jnp.where(pend, agg, cp_ref[0])
-        better = agg < bc
+        better = (agg < bc) & in_win
         cm_ref[0] = jnp.where(better, prev_sc[...], cm_ref[0])
         bestc_ref[0] = jnp.where(better, agg, bc)
         bestd_ref[0] = jnp.where(better, d, bd)
@@ -248,7 +255,7 @@ def _kernel(
         # Build a full-width candidate plane (inf outside [off, off+TX)) via
         # a dynamic lane rotate, then min-update the whole buffer.
         off = (D - 1) - d
-        agg_r = jnp.where(x_ok, agg, jnp.inf)
+        agg_r = jnp.where(x_ok & in_win, agg, jnp.inf)
         full = jnp.concatenate(
             [agg_r, jnp.full((TY, TXR - TX), jnp.inf, jnp.float32)], axis=-1
         )
@@ -368,6 +375,7 @@ def wta_outputs_from_stacks(
     cfg: StereoConfig,
     n_valid_cols: int,
     want_strip: bool = False,
+    d_window=None,
 ):
     """Fused kernel over pre-extended channel stacks (preprocess.channel_stack
     layout) — the entry the x-tiled shard path uses, where the extended
@@ -396,6 +404,8 @@ def wta_outputs_from_stacks(
     T = ny * nx
     if want_strip and D - 1 > TX:
         raise ValueError("strip export requires max_disparity - 1 <= TILE_X")
+    if d_window is None:
+        d_window = (0, D)
 
     # Alignment padding only (the semantic halo columns are already present);
     # bottom rows reach (ny-1)*TY + PH.
@@ -427,6 +437,7 @@ def wta_outputs_from_stacks(
         pl.BlockSpec((1, 7, PH, PWR), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, K), lambda t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 2), lambda t: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
         pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
@@ -473,6 +484,10 @@ def wta_outputs_from_stacks(
         rtiles,
         jnp.asarray(_spatial_weights_np(cfg)),
         jnp.asarray(n_valid_cols, jnp.int32).reshape(1, 1),
+        jnp.stack(
+            [jnp.asarray(d_window[0], jnp.int32),
+             jnp.asarray(d_window[1], jnp.int32)]
+        ).reshape(1, 2),
     )
 
     def assemble(tiles, w_tile):

@@ -51,6 +51,24 @@ def match_pair_dsharded(
     ds = D // n
     h, w = left.shape[:2]
 
+    from ..models.pipeline import _resolve_backend
+
+    use_pallas = _resolve_backend(cfg, left.shape) == "pallas"
+    if use_pallas:
+        from ..ops import preprocess
+        from ..ops.pallas import asw_kernel
+
+        r = cfg.window_radius
+        dk = ds + 2  # slab + one overlap d per side for the subpixel triple
+        ls_pre = preprocess.channel_stack(left)
+        rs_pre = preprocess.channel_stack(right)
+        ls_ext_g = jnp.pad(ls_pre, ((0, 0), (0, 0), (r, r)), mode="edge")
+        # Right stack padded wide enough for any slab's shifted window:
+        # shard k matches global d in [k*ds - 1, k*ds + ds + 1), realized by
+        # running the kernel with D=dk on the right stack shifted by
+        # s0 = k*ds - 1 columns.
+        rs_pad_g = jnp.pad(rs_pre, ((0, 0), (0, 0), (r + D, r + 1)), mode="edge")
+
     @functools.partial(
         shard_map,
         mesh=device_mesh,
@@ -61,31 +79,68 @@ def match_pair_dsharded(
     def run(l_img, r_img):
         k = lax.axis_index(axis)
         d0 = k * ds
-        # Slab with one overlap d per side (clamped) for the subpixel triple.
-        local = jnp.arange(ds + 2) - 1
-        d_idx = jnp.clip(d0 + local, 0, D - 1)
-        slab = aggregate.aggregate_asw(l_img, r_img, cfg, d_indices=d_idx)
-        interior = slab[..., 1 : 1 + ds]  # (H, W, ds)
-
-        # Local left-view winner + triple.
-        loc = jnp.argmin(interior, axis=-1).astype(jnp.int32)
         take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
-        bestc = take(interior, loc)
-        cm = take(slab, loc)          # slab index loc = interior loc - 1
-        cp = take(slab, loc + 2)
-        bestd = d0 + loc
+        if use_pallas:
+            s0 = d0 - 1  # kernel-local d' <-> global d = s0 + d'
+            # R'(v) = R(v - s0); slice the wide-padded stack so the kernel's
+            # [-(r + dk - 1), W - 1 + r] window lands on real columns.
+            start = D - (k + 1) * ds  # = (r + D) - (r + dk - 1) - s0
+            rs_ext = lax.dynamic_slice(
+                rs_pad_g,
+                (0, 0, start),
+                (7, h, w + 2 * r + dk - 1),
+            )
+            kouts = asw_kernel.wta_outputs_from_stacks(
+                ls_ext_g, rs_ext, cfg.replace(max_disparity=dk), w,
+                want_strip=True, d_window=(1, ds + 1),
+            )
+            bestc = kouts["bestc"]
+            bestd = s0 + kouts["bestd"]
+            cm = kouts["cm"]
+            cp = kouts["cp"]
+            # Right view: kernel column u is real right col x' = u - s0.
+            # Kernel-frame u < 0 lives in the exported strip (e.g. shard 0's
+            # x' = 0 sits at u = -1); u beyond W-1 would be x' whose slab
+            # candidates all have x' + d >= W (no left pixel) — correctly
+            # absent, padded inf.
+            full_c = jnp.concatenate(
+                [kouts["r_strip_c"], kouts["rbestc"]], axis=1
+            )  # u in [-(dk-1), W)
+            full_d = jnp.concatenate(
+                [kouts["r_strip_d"], kouts["rbestd"]], axis=1
+            )
+            pc = jnp.pad(full_c, ((0, 0), (0, D)), constant_values=jnp.inf)
+            pd = jnp.pad(full_d, ((0, 0), (0, D)))
+            start = s0 + dk - 1  # index of real x' = 0 (= d0 + ds >= 0)
+            rbestc = lax.dynamic_slice(pc, (0, start), (h, w))
+            rbestd = s0 + lax.dynamic_slice(pd, (0, start), (h, w))
+        else:
+            # Slab with one overlap d per side (clamped) for the triple.
+            local = jnp.arange(ds + 2) - 1
+            d_idx = jnp.clip(d0 + local, 0, D - 1)
+            slab = aggregate.aggregate_asw(l_img, r_img, cfg, d_indices=d_idx)
+            interior = slab[..., 1 : 1 + ds]  # (H, W, ds)
 
-        # Local right-view partial: C_R(x', d) = C_L(x'+d, d), d in slab.
-        x = jnp.arange(w)[None, :, None]
-        dg = (d0 + jnp.arange(ds))[None, None, :]
-        idx = x + dg  # (1, W, ds)
-        gathered = jnp.take_along_axis(
-            interior, jnp.broadcast_to(jnp.minimum(idx, w - 1), interior.shape), axis=1
-        )
-        rslab = jnp.where(idx <= w - 1, gathered, jnp.inf)
-        rloc = jnp.argmin(rslab, axis=-1).astype(jnp.int32)
-        rbestc = take(rslab, rloc)
-        rbestd = d0 + rloc
+            # Local left-view winner + triple.
+            loc = jnp.argmin(interior, axis=-1).astype(jnp.int32)
+            bestc = take(interior, loc)
+            cm = take(slab, loc)          # slab index loc = interior loc - 1
+            cp = take(slab, loc + 2)
+            bestd = d0 + loc
+
+            # Local right-view partial: C_R(x', d) = C_L(x'+d, d), d in slab.
+            x = jnp.arange(w)[None, :, None]
+            dg = (d0 + jnp.arange(ds))[None, None, :]
+            idx = x + dg  # (1, W, ds)
+            gathered = jnp.take_along_axis(
+                interior,
+                jnp.broadcast_to(jnp.minimum(idx, w - 1), interior.shape),
+                axis=1,
+            )
+            rslab = jnp.where(idx <= w - 1, gathered, jnp.inf)
+            rloc = jnp.argmin(rslab, axis=-1).astype(jnp.int32)
+            rbestc = take(rslab, rloc)
+            rbestd = d0 + rloc
 
         # Global combine: ordered strict-< merge over ascending shards.
         parts = lax.all_gather(

@@ -237,3 +237,23 @@ def test_pallas_xtiled_equals_pallas_untiled_exactly():
             J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(l, r)
         )
         np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_dsharded_equals_pallas_unsharded_exactly():
+    """Disparity sharding through the fused kernel (d-window + slab-shifted
+    right stacks) is bit-exact vs the unsharded pallas pipeline."""
+    from aswstereomatch_tpu.parallel import dshard
+    from aswstereomatch_tpu.parallel import mesh as mesh_lib
+
+    cfg = CFG.replace(
+        backend="pallas", max_disparity=16, lr_check=True, fill_holes=True,
+        subpixel=True, median_filter=True,
+    )
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=16, seed=4)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(
+        J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(l, r)
+    )
+    np.testing.assert_array_equal(out, ref)
