@@ -54,6 +54,12 @@ def match_pair_dsharded(
     from ..models.pipeline import _resolve_backend
 
     use_pallas = _resolve_backend(cfg, left.shape) == "pallas"
+    if cfg.aggregation != "asw" and not (
+        cfg.aggregation == "box" and use_pallas
+    ):
+        raise ValueError(
+            "disparity sharding covers asw (both backends) and box (pallas)"
+        )
     if use_pallas:
         from ..ops import preprocess
         from ..ops.pallas import asw_kernel

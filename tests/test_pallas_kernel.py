@@ -257,3 +257,24 @@ def test_pallas_dsharded_equals_pallas_unsharded_exactly():
         J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(l, r)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_pallas_dsharded_box_exact_and_jnp_box_guarded():
+    from aswstereomatch_tpu.parallel import dshard
+    from aswstereomatch_tpu.parallel import mesh as mesh_lib
+
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=16, seed=4)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    cfg = CFG.replace(
+        max_disparity=16, aggregation="box", backend="pallas",
+        lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
+    )
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    out = np.asarray(
+        J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(l, r)
+    )
+    np.testing.assert_array_equal(out, ref)
+    # the jnp path only implements ASW slabs — box must be rejected loudly
+    with pytest.raises(ValueError, match="disparity sharding"):
+        dshard.match_pair_dsharded(l, r, cfg.replace(backend="jnp"), m)
