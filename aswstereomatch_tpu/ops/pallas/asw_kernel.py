@@ -214,8 +214,15 @@ def _kernel(
             slrow_sc, srrow_sc, ty,
         )
 
-        def agg_of_d(d):
-            return num_sc[d] / den_sc[d]
+        if cfg.asw_symmetric:
+
+            def agg_of_d(d):
+                return num_sc[d] / den_sc[d]
+
+        else:
+            # d-independent denominator (accumulated once per window row)
+            def agg_of_d(d):
+                return num_sc[d] / den_sc[0]
 
     # ---- 4. online dual-view WTA + subpixel triple -------------------------
     t = pl.program_id(0)
@@ -314,6 +321,16 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
                     d2r = d2r + diffr * diffr
                 srrow_sc[dx] = jnp.exp(-jnp.sqrt(d2r) * inv_gc) * swr[dx]
 
+        if not sym:
+            # Left-only weights are disparity-independent, so the
+            # normalization denominator is too: accumulate it once per
+            # window row into den_sc[0] instead of per (d, dx).
+            sl = slrow_sc[...]
+            dacc = sl[0]
+            for dx in range(1, K):
+                dacc = dacc + sl[dx]
+            den_sc[0] = den_sc[0] + dacc
+
         # Manual 2-way unroll over d: consecutive disparities share the bulk
         # weight-row reads (the dominant VMEM traffic), differing only in the
         # srs rotate offset and the cost row.  Per-pixel accumulation order
@@ -340,9 +357,11 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
                         t_ = slrow[dx]
                     k = j % LANES
                     nums[k] = nums[k] + t_ * crow[:, dx : dx + TX]
-                    dens[k] = dens[k] + t_
+                    if sym:
+                        dens[k] = dens[k] + t_
                 num_sc[d] = num_sc[d] + ((nums[0] + nums[1]) + (nums[2] + nums[3]))
-                den_sc[d] = den_sc[d] + ((dens[0] + dens[1]) + (dens[2] + dens[3]))
+                if sym:
+                    den_sc[d] = den_sc[d] + ((dens[0] + dens[1]) + (dens[2] + dens[3]))
             return ()
 
         lax.fori_loop(0, D // U, d_group, (), unroll=False)
