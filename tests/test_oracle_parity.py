@@ -148,3 +148,39 @@ def test_full_pipeline_weighted_median(small_pair):
     d_j = np.asarray(J(pipeline.match_pair, cfg=cfg)(jnp.asarray(left), jnp.asarray(right)))
     agree = np.mean(np.abs(d_j - d_o) <= 0.51)
     assert agree > 0.99, f"disagreement {1 - agree:.4%}"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_pipeline_fuzz_random_configs_vs_oracle(seed):
+    """Random tiny configs: jnp pipeline tracks the loop oracle end to end."""
+    rng = np.random.default_rng(200 + seed)
+    cfg = StereoConfig(
+        max_disparity=int(rng.choice([4, 8])),
+        window_radius=int(rng.choice([1, 2, 3])),
+        cost=str(rng.choice(["ad", "tad_grad"])),
+        aggregation=str(rng.choice(["box", "asw", "none"])),
+        asw_symmetric=bool(rng.choice([True, False])),
+        gamma_color=float(rng.uniform(6, 25)),
+        gamma_spatial=float(rng.uniform(6, 35)),
+        alpha=float(rng.uniform(0.5, 1.0)),
+        lr_tol=float(rng.choice([0.5, 1.0, 2.0])),
+        lr_check=bool(rng.choice([True, False])),
+        fill_holes=True,
+        subpixel=bool(rng.choice([True, False])),
+        median_filter=bool(rng.choice([True, False])),
+        median_mode=str(rng.choice(["plain", "weighted"])),
+    )
+    from aswstereomatch_tpu.utils import synthetic as synth
+
+    h = int(rng.integers(14, 28))
+    w = int(rng.integers(24, 44))
+    pair = synth.make_pair(height=h, width=w,
+                           max_disparity=cfg.max_disparity, seed=seed)
+    d_o = oracle.match_pair(pair["left"], pair["right"], cfg)
+    d_j = np.asarray(
+        J(pipeline.match_pair, cfg=cfg)(
+            jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+        )
+    )
+    agree = np.mean(np.abs(d_j - d_o) <= 0.51)
+    assert agree > 0.98, f"seed {seed} cfg {cfg.config_hash()}: {1-agree:.3%}"

@@ -190,7 +190,7 @@ def test_box_pipeline_pallas_matches_jnp():
     assert np.mean(np.abs(d_pal - d_jnp) <= 0.51) > 0.99
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(8))
 def test_kernel_fuzz_random_configs(seed):
     """Random small configs: kernel argmin must track the jnp volume."""
     rng = np.random.default_rng(100 + seed)
