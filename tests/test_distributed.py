@@ -51,11 +51,42 @@ _WORKER = textwrap.dedent(
     out = distributed.run_batch_distributed(lefts, rights, cfg, m)
     out_local = [np.asarray(s.data) for s in out.addressable_shards]
 
-    # Check this process's addressable shards of the global result against
-    # the single-device unsharded reference, pair by pair.
+    # Cross-process collectives for the other layouts too: x-tiling (D_max
+    # halo ppermute) and disparity sharding (all_gather combine) on the
+    # 8-device global mesh spanning both processes.
     import functools
     from aswstereomatch_tpu.models import pipeline
+    from aswstereomatch_tpu.parallel import dshard, tiling
     fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+
+    l0 = jnp.asarray(lefts[0])
+    r0 = jnp.asarray(rights[0])
+    ref0 = np.asarray(fn(l0, r0))
+    def assert_shards_match(global_arr, ref, expect_local):
+        # global arrays spanning both processes are not fully addressable;
+        # check the local shards against the matching slices of the local
+        # reference
+        checked = 0
+        for s in global_arr.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(s.data), ref[s.index])
+            checked += 1
+        assert checked > 0 or not expect_local
+
+    def has_local(m):
+        return any(d.process_index == jax.process_index()
+                   for d in m.devices.flat)
+
+    mt4 = mesh_lib.build_mesh(data=1, tile=4)  # 12 cols/shard >= halo 9
+    out_x = jax.jit(functools.partial(
+        tiling.match_pair_tiled_x, cfg=cfg, device_mesh=mt4))(l0, r0)
+    assert_shards_match(out_x, ref0, has_local(mt4))
+    mt8 = mesh_lib.build_mesh(data=1, tile=8)  # spans both processes
+    out_d = jax.jit(functools.partial(
+        dshard.match_pair_dsharded, cfg=cfg, device_mesh=mt8))(l0, r0)
+    assert_shards_match(out_d, ref0, has_local(mt8))
+
+    # Check this process's addressable shards of the global result against
+    # the single-device unsharded reference, pair by pair.
     for s in out.addressable_shards:
         b0 = s.index[0].start or 0
         rows = s.index[1]
