@@ -1,0 +1,127 @@
+"""Ahead-of-time compiled-executable cache.
+
+The fused ASW Pallas kernel at production geometry (K=33, D=128) costs
+minutes of Mosaic compile time *per process* on this environment, and JAX's
+persistent compilation cache (``jax_compilation_cache_dir``) deadlocks the
+compile under the axon remote-compile helper (verified twice: all threads
+futex-wait, partial cache entries on disk; see docs/PERF_NOTES.md).
+
+This module sidesteps both with ``jax.experimental.serialize_executable``:
+compile once, pickle the PJRT executable to disk, and in later *processes*
+``deserialize_and_load`` it in milliseconds.  Measured round trip for the
+full KITTI pipeline executable: serialize ~0.1 s, load ~0.2 s, vs 266 s of
+fresh compile.  (SURVEY.md section 5 "config/flag system" reproducibility:
+cache keys embed the config hash, input shapes/dtypes, JAX version, and
+device kind, so a stale artifact can never be silently reused.)
+
+The reference (single C++ binary, SURVEY.md section 1 L7) has no analogous
+subsystem — compile cost is a TPU-stack-specific concern; this is the
+TPU-native equivalent of shipping a prebuilt binary.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import os
+import pickle
+import warnings
+
+import jax
+
+# Repo-level default cache dir (committed artifacts serve as prebuilt
+# binaries for the bench/CLI cold path; override with ASW_AOT_CACHE_DIR).
+_DEFAULT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".aotcache",
+)
+
+
+def cache_dir() -> str:
+    return os.environ.get("ASW_AOT_CACHE_DIR", _DEFAULT_DIR)
+
+
+def _env_fingerprint() -> dict:
+    dev = jax.devices()[0]
+    return {
+        "jax": jax.__version__,
+        "device_kind": dev.device_kind,
+        "platform": dev.platform,
+    }
+
+
+def cache_key(*parts) -> str:
+    """Stable key from config hash + shape/dtype parts + environment."""
+    fp = _env_fingerprint()
+    blob = repr((sorted(fp.items()), parts)).encode()
+    return hashlib.sha256(blob).hexdigest()[:20]
+
+
+def _path(key: str) -> str:
+    return os.path.join(cache_dir(), f"{key}.jaxexec")
+
+
+def load(key: str):
+    """Return a callable for a cached executable, or None.
+
+    Any failure (missing file, env mismatch, deserialization error) returns
+    None — callers fall back to a fresh jit compile.
+    """
+    path = _path(key)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path, "rb") as f:
+            blob = pickle.load(f)
+        if blob.get("env") != _env_fingerprint():
+            return None
+        from jax.experimental.serialize_executable import deserialize_and_load
+
+        return deserialize_and_load(
+            blob["payload"], blob["in_tree"], blob["out_tree"]
+        )
+    except Exception as e:  # noqa: BLE001 — cache must never break the caller
+        warnings.warn(f"aotcache: failed to load {path}: {e}")
+        return None
+
+
+def save(key: str, compiled) -> bool:
+    """Serialize a jax.stages.Compiled; returns False if unsupported."""
+    try:
+        from jax.experimental.serialize_executable import serialize
+
+        payload, in_tree, out_tree = serialize(compiled)
+    except Exception as e:  # noqa: BLE001 — e.g. CPU backend, const_args
+        warnings.warn(f"aotcache: serialization unsupported: {e}")
+        return False
+    os.makedirs(cache_dir(), exist_ok=True)
+    blob = {
+        "env": _env_fingerprint(),
+        "payload": payload,
+        "in_tree": in_tree,
+        "out_tree": out_tree,
+    }
+    tmp = _path(key) + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(blob, f)
+    os.replace(tmp, _path(key))  # atomic: a crashed writer leaves no torn file
+    return True
+
+
+def compile_cached(fn, args, key_parts, *, static_key: str | None = None):
+    """AOT-compile ``fn(*args)`` with disk caching.
+
+    Returns ``(callable, source)`` where source is "aot-cache" | "compile".
+    The callable has the same signature as ``fn``.  On cache miss, compiles
+    via ``jax.jit(fn).lower(*args).compile()``, saves, and returns the
+    compiled executable directly (no double compile).
+    """
+    key = static_key or cache_key(
+        *key_parts, *[(tuple(a.shape), str(a.dtype)) for a in args]
+    )
+    loaded = load(key)
+    if loaded is not None:
+        return loaded, "aot-cache"
+    compiled = jax.jit(fn).lower(*args).compile()
+    save(key, compiled)
+    return compiled, "compile"

@@ -144,7 +144,18 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
 
     left = jnp.asarray(pair["left"])
     right = jnp.asarray(pair["right"])
-    fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+    # AOT executable cache: a committed prebuilt binary turns the multi-minute
+    # Mosaic cold compile into a ~0.2 s load (utils/aotcache.py), so the
+    # driver-run bench lands a live number inside its timeout.
+    from aswstereomatch_tpu.utils import aotcache
+
+    t0 = time.perf_counter()
+    fn, compile_source = aotcache.compile_cached(
+        functools.partial(pipeline.match_pair, cfg=cfg),
+        (left, right),
+        key_parts=("match_pair", cfg.config_hash()),
+    )
+    compile_s = time.perf_counter() - t0
 
     def run_blocking(l, r):
         # jax.block_until_ready does not actually block under the axon TPU
@@ -154,9 +165,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
         float(out[0, 0])
         return out
 
-    t0 = time.perf_counter()
-    run_blocking(left, right)
-    compile_s = time.perf_counter() - t0
+    run_blocking(left, right)  # first dispatch
     run_blocking(left, right)  # warm queue drain
     times = []
     for _ in range(iters):
@@ -192,6 +201,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
             best_s=best,
             mean_s=float(np.mean(times)),
             compile_s=compile_s,
+            compile_source=compile_source,
             iters=iters,
             device=str(jax.devices()[0]),
             backend_cfg_hash=cfg.config_hash(),
@@ -228,7 +238,7 @@ def main():
     ap.add_argument("--backend", default="auto", choices=["auto", "jnp", "pallas"])
     ap.add_argument(
         "--deadline-s", type=float,
-        default=float(os.environ.get("BENCH_DEADLINE_S", 1800)),
+        default=float(os.environ.get("BENCH_DEADLINE_S", 240)),
         help="hard wall-clock budget; past it, emit the cached result "
              "marked STALE instead of hanging",
     )
