@@ -21,8 +21,8 @@ TPU-native equivalent of shipping a prebuilt binary.
 
 from __future__ import annotations
 
+import functools
 import hashlib
-import io
 import os
 import pickle
 import warnings
@@ -41,12 +41,40 @@ def cache_dir() -> str:
     return os.environ.get("ASW_AOT_CACHE_DIR", _DEFAULT_DIR)
 
 
+_PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _compute_source_hash() -> str:
+    """Hash of every package source file: a kernel/pipeline edit must
+    invalidate cached executables, or a stale binary would silently bench
+    old code."""
+    h = hashlib.sha256()
+    for root, _, files in sorted(os.walk(_PKG_DIR)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                h.update(p.encode())
+                with open(p, "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()[:16]
+
+
+# Pinned at import: the hash must describe the code this process actually
+# runs, not whatever is on disk when save() fires after a long compile.
+_SOURCE_HASH = _compute_source_hash()
+
+
+def _source_hash() -> str:
+    return _SOURCE_HASH
+
+
 def _env_fingerprint() -> dict:
     dev = jax.devices()[0]
     return {
         "jax": jax.__version__,
         "device_kind": dev.device_kind,
         "platform": dev.platform,
+        "source": _source_hash(),
     }
 
 

@@ -121,10 +121,22 @@ def read_image(path: str) -> np.ndarray:
         return read_pnm(path)
     if ext == ".pfm":
         return read_pfm(path)
+    if ext == ".png":
+        # Native zero-dependency decoder (8/16-bit gray/RGB incl. KITTI
+        # uint16 ground truth); cv2 only as a fallback for exotic variants
+        # (palette, interlace).
+        from . import native
+
+        if native.available():
+            try:
+                return native.read_png(path)
+            except IOError:
+                pass  # unsupported variant -> try cv2
     cv2 = _try_cv2()
     if cv2 is None:
         raise RuntimeError(
-            f"reading {ext} requires cv2 (available in the test env) or use PGM/PPM/PFM"
+            f"reading {ext} requires the native codec (`make -C native`) or "
+            "cv2, or use PGM/PPM/PFM"
         )
     img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
     if img is None:
@@ -154,8 +166,23 @@ def read_gt_disparity(path: str, dataset: str) -> Tuple[np.ndarray, np.ndarray]:
 def save_disparity_png(path: str, disp: np.ndarray, max_disparity: int) -> None:
     """Save a disparity map as an 8-bit visualization PNG (or PGM fallback)."""
     vis = np.clip(disp / max(max_disparity - 1, 1) * 255.0, 0, 255)
-    cv2 = _try_cv2()
-    if cv2 is not None and path.lower().endswith(".png"):
-        cv2.imwrite(path, vis.astype(np.uint8))
-    else:
-        write_pgm(os.path.splitext(path)[0] + ".pgm", vis)
+    if path.lower().endswith(".png"):
+        from . import native
+
+        if native.available():
+            native.write_png(path, vis)
+            return
+        cv2 = _try_cv2()
+        if cv2 is not None:
+            cv2.imwrite(path, vis.astype(np.uint8))
+            return
+    write_pgm(os.path.splitext(path)[0] + ".pgm", vis)
+
+
+def save_disparity_gt_png(path: str, disp: np.ndarray) -> None:
+    """Save a disparity map as KITTI-convention uint16 PNG (disp*256; 0 =
+    invalid) via the native encoder — round-trips through
+    ``read_gt_disparity(path, "kitti")``."""
+    from . import native
+
+    native.write_png(path, np.asarray(disp, np.float32) * 256.0, bit_depth=16)

@@ -58,6 +58,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.sio_pfm_header.argtypes = lib.sio_pnm_header.argtypes
     lib.sio_read_pfm.argtypes = lib.sio_read_pnm.argtypes
+    lib.sio_png_header.argtypes = [ctypes.c_char_p] + [
+        ctypes.POINTER(ctypes.c_int)
+    ] * 4
+    lib.sio_read_png.argtypes = [ctypes.c_char_p, ctypes.c_void_p]
+    for name in ("sio_write_png_gray8", "sio_write_png_rgb8",
+                 "sio_write_png_gray16"):
+        getattr(lib, name).argtypes = [
+            ctypes.c_char_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+        ]
     lib.sio_bad_delta.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_long, ctypes.c_float,
@@ -114,6 +123,46 @@ def read_pfm(path: str) -> np.ndarray:
     if rc:
         raise IOError(f"sio_read_pfm({path}) -> {rc}")
     return out[..., 0] if c.value == 1 else out
+
+
+def read_png(path: str) -> np.ndarray:
+    """Native PNG decode (8/16-bit gray/RGB, alpha dropped) -> float32.
+
+    8-bit samples come back on [0,255]; 16-bit on the raw [0,65535] grid
+    (KITTI-convention scaling is the caller's job — same contract as PNM).
+    """
+    lib = _require()
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    bd = ctypes.c_int()
+    rc = lib.sio_png_header(path.encode(), ctypes.byref(h), ctypes.byref(w),
+                            ctypes.byref(c), ctypes.byref(bd))
+    if rc:
+        raise IOError(f"sio_png_header({path}) -> {rc}")
+    out = np.empty((h.value, w.value, c.value), np.float32)
+    rc = lib.sio_read_png(path.encode(), out.ctypes.data_as(ctypes.c_void_p))
+    if rc:
+        raise IOError(f"sio_read_png({path}) -> {rc}")
+    return out[..., 0] if c.value == 1 else out
+
+
+def write_png(path: str, img: np.ndarray, bit_depth: int = 8) -> None:
+    """Native PNG encode: float32 (H,W) gray (8- or 16-bit) or (H,W,3) RGB."""
+    lib = _require()
+    arr = np.ascontiguousarray(img, dtype=np.float32)
+    if arr.ndim == 3 and arr.shape[2] == 3:
+        if bit_depth != 8:
+            raise ValueError("RGB PNG encode supports bit_depth=8 only")
+        fn = lib.sio_write_png_rgb8
+    elif arr.ndim == 2:
+        fn = lib.sio_write_png_gray16 if bit_depth == 16 else lib.sio_write_png_gray8
+    else:
+        raise ValueError(f"unsupported image shape {arr.shape}")
+    rc = fn(path.encode(), arr.ctypes.data_as(ctypes.c_void_p),
+            arr.shape[0], arr.shape[1])
+    if rc:
+        raise IOError(f"png encode({path}) -> {rc}")
 
 
 def write_pgm(path: str, img: np.ndarray) -> None:
