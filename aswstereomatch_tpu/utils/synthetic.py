@@ -60,6 +60,25 @@ def _sample_x(tex: np.ndarray, xq: np.ndarray) -> np.ndarray:
     return tex[rows, x0] * (1 - f) + tex[rows, x1] * f
 
 
+def _flatten_patches(
+    tex: np.ndarray, rng: np.random.Generator, count: int
+) -> np.ndarray:
+    """Replace ``count`` random rectangles of a texture with their mean color
+    (textureless regions — the classic local-stereo failure regime).  Applied
+    to the *texture*, so both rendered views stay photometrically consistent
+    and ground truth remains exact."""
+    h, w = tex.shape[:2]
+    out = tex.copy()
+    for _ in range(count):
+        rh = int(rng.integers(h // 6, h // 3))
+        rw = int(rng.integers(w // 6, w // 3))
+        y0 = int(rng.integers(0, h - rh))
+        x0 = int(rng.integers(0, w - rw))
+        patch = out[y0 : y0 + rh, x0 : x0 + rw]
+        out[y0 : y0 + rh, x0 : x0 + rw] = np.round(patch.mean(axis=(0, 1)))
+    return out
+
+
 def make_pair(
     height: int = 96,
     width: int = 128,
@@ -67,6 +86,7 @@ def make_pair(
     num_layers: int = 3,
     seed: int = 0,
     fractional: bool = False,
+    flat_patches: int = 0,
 ) -> Dict[str, np.ndarray]:
     """Render a layered synthetic stereo pair.
 
@@ -89,6 +109,8 @@ def make_pair(
         d_bg = round(d_bg)
 
     textures = [_texture(rng, h, w, octaves=4) for _ in range(num_layers + 1)]
+    if flat_patches:
+        textures = [_flatten_patches(t, rng, flat_patches) for t in textures]
     disps = [float(d_bg)] + [float(d) for d in ds]
 
     # Layer masks in LEFT coordinates (background covers everything).
@@ -194,6 +216,41 @@ def make_slanted_pair(
         "gt": gt,
         "occluded": np.zeros((height, width), bool),
     }
+
+
+def make_hard_pair(
+    height: int = 96,
+    width: int = 160,
+    max_disparity: int = 24,
+    seed: int = 0,
+    noise_sigma: float = 2.0,
+    right_gain: float = 0.92,
+    right_bias: float = 6.0,
+    flat_patches: int = 3,
+) -> Dict[str, np.ndarray]:
+    """Adversarial-regime pair for accuracy-regression pinning (SURVEY.md
+    section 4.6): fractional layer disparities, textureless patches,
+    independent per-view sensor noise, and a brightness/contrast mismatch
+    between views (right = gain*right + bias).  Geometry/GT stay exact;
+    only photometry is degraded, so bad-delta deltas measure algorithmic
+    robustness, not GT error.
+    """
+    rng = np.random.default_rng(seed + 9000)
+    pair = make_pair(
+        height=height,
+        width=width,
+        max_disparity=max_disparity,
+        num_layers=3,
+        seed=seed,
+        fractional=True,
+        flat_patches=flat_patches,
+    )
+    left = pair["left"] + rng.normal(0.0, noise_sigma, pair["left"].shape)
+    right = right_gain * pair["right"] + right_bias
+    right = right + rng.normal(0.0, noise_sigma, right.shape)
+    pair["left"] = np.round(np.clip(left, 0, 255)).astype(np.float32)
+    pair["right"] = np.round(np.clip(right, 0, 255)).astype(np.float32)
+    return pair
 
 
 # Geometry presets mirroring the BASELINE configs' datasets.
