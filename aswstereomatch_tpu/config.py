@@ -105,6 +105,11 @@ class StereoConfig:
     tile_axis: str = "y"               # what "tile" shards: "y" | "x" | "d"
     # ---- backend selection --------------------------------------------------
     backend: str = "auto"              # "auto" | "jnp" | "pallas"
+    kernel_layout: str = "auto"        # Pallas data layout: "auto" picks the
+                                       # disparity-in-lanes kernel for
+                                       # left-only ASW (2-3x faster; see
+                                       # ops/pallas/asw_dlanes.py), x-in-lanes
+                                       # otherwise; "xlanes"/"dlanes" force.
 
     def __post_init__(self):
         if self.cost not in ("ad", "tad_grad"):
@@ -121,6 +126,8 @@ class StereoConfig:
             raise ValueError(f"unknown backend {self.backend!r}")
         if self.median_mode not in ("plain", "weighted"):
             raise ValueError(f"unknown median_mode {self.median_mode!r}")
+        if self.kernel_layout not in ("auto", "xlanes", "dlanes"):
+            raise ValueError(f"unknown kernel_layout {self.kernel_layout!r}")
 
     # -- derived --------------------------------------------------------------
     @property

@@ -104,9 +104,7 @@ def tile_disparity(
     left_ext/right_ext: (halo + rows + halo, W[, 3]); returns (rows, W).
     """
     if _resolve_backend(cfg, left_ext.shape) == "pallas":
-        from ..ops.pallas import asw_kernel
-
-        outs = asw_kernel.wta_outputs(left_ext, right_ext, cfg)
+        outs = _kernel_wta(left_ext, right_ext, cfg)
         disp = _disp_pre_from_wta(outs, cfg)
     else:
         vol = aggregated_volume(left_ext, right_ext, cfg)
@@ -173,6 +171,17 @@ def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
     return "pallas"
 
 
+def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dict:
+    """Fused-kernel WTA outputs, picking the data layout per config: the
+    disparity-in-lanes kernel for left-only ASW (2x; ops/pallas/asw_dlanes),
+    x-in-lanes otherwise."""
+    from ..ops.pallas import asw_dlanes, asw_kernel
+
+    if asw_dlanes.routed(cfg):
+        return asw_dlanes.wta_outputs(left, right, cfg)
+    return asw_kernel.wta_outputs(left, right, cfg)
+
+
 def _disp_pre_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
     """Subpixel + LR + fill from the fused kernel's online-WTA outputs
     (everything row-local; no median) — the WTA-output analog of
@@ -211,9 +220,7 @@ def match_pair(
     """Match one rectified pair -> float32 (H, W) disparity.  Jit-friendly."""
     backend = _resolve_backend(cfg, left.shape)
     if backend == "pallas":
-        from ..ops.pallas import asw_kernel
-
-        outs = asw_kernel.wta_outputs(left, right, cfg)
+        outs = _kernel_wta(left, right, cfg)
         return _postprocess_from_wta(outs, cfg, left)
     if cfg.y_chunks > 1:
         return match_pair_chunked(left, right, cfg)

@@ -335,6 +335,10 @@ def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
         # weight-row reads (the dominant VMEM traffic), differing only in the
         # srs rotate offset and the cost row.  Per-pixel accumulation order
         # is unchanged (d ascending), so results are bit-identical to U=1.
+        # (Round-2 measured alternative: one rotate per d-group + static
+        # unaligned sub-slices — only 6.5% faster at U=4 but 14x the Mosaic
+        # compile time; unaligned lane slices materialize as near-rotate-cost
+        # copies on this Mosaic.  See docs/PERF_NOTES.md.)
         U = 2 if D % 2 == 0 else 1
 
         def d_group(g, _):
@@ -533,6 +537,18 @@ def wta_outputs_from_stacks(
 
 
 def _combine_right(rbestc, rbestd, ny, nx, H, W, D):
+    """Merge per-tile right-view partials into the (H, W) right disparity
+    ((T, TY, TXR) buffers from the x-lanes kernel)."""
+    TY = rbestc.shape[1]
+    TXR = _ru128(TILE_X + D - 1)
+    return _combine_right4(
+        rbestc.reshape(ny, nx, TY, TXR),
+        rbestd.reshape(ny, nx, TY, TXR),
+        H, W, D, TILE_X,
+    )
+
+
+def _combine_right4(rc, rd, H, W, D, TX):
     """Merge per-tile right-view partials into the (H, W) right disparity.
 
     Tile ix's buffer covers right columns [ix*TX - (D-1), ix*TX + TX - 1];
@@ -540,12 +556,12 @@ def _combine_right(rbestc, rbestd, ny, nx, H, W, D):
     owning x' and higher d's from tiles to the right.  Merge preserves
     first-occurrence argmin: later tiles only win on strictly smaller cost
     (their candidates have strictly larger d).
+
+    rc/rd: (ny, nx, TY, >= TX + D - 1) partial buffers, lane k of tile ix
+    holding right column ix*TX - (D-1) + k; shared by the x-lanes
+    (TXR-padded) and d-lanes (J8-padded) kernels.
     """
-    TX = TILE_X
-    TY = rbestc.shape[1]
-    TXR = _ru128(TX + D - 1)
-    rc = rbestc.reshape(ny, nx, TY, TXR)
-    rd = rbestd.reshape(ny, nx, TY, TXR)
+    ny, nx, TY, TXR = rc.shape
     # own contribution: lanes [D-1, D-1+TX) are right cols [x0, x1]
     best_c = rc[:, :, :, D - 1 : D - 1 + TX]
     best_d = rd[:, :, :, D - 1 : D - 1 + TX]

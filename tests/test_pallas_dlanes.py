@@ -1,0 +1,127 @@
+"""Disparity-in-lanes fused kernel (left-only fast path) vs the jnp oracle.
+
+Interpret mode on CPU (tests/conftest.py), mirroring test_pallas_kernel.py:
+WTA outputs against the materialized aggregated volume, end-to-end pipeline
+agreement, routing rules, and the tiled==untiled invariant.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aswstereomatch_tpu.config import StereoConfig
+from aswstereomatch_tpu.models import pipeline
+from aswstereomatch_tpu.ops import postprocess
+from aswstereomatch_tpu.ops.pallas import asw_dlanes
+from aswstereomatch_tpu.utils import synthetic
+
+
+def J(fn, **static):
+    return jax.jit(functools.partial(fn, **static))
+
+
+CFG = StereoConfig(
+    max_disparity=8, cost="tad_grad", aggregation="asw", window_radius=2,
+    asw_symmetric=False, gamma_color=14.0, gamma_spatial=9.0,
+)
+
+
+@pytest.mark.parametrize(
+    "cfg,shape",
+    [
+        (CFG, (24, 40)),
+        (CFG.replace(cost="ad"), (24, 40)),
+        # multiple tiles in both axes + non-divisible H and W
+        (CFG, (21, 150)),
+        # D > TXS exercises the multi-neighbor right-partial combine
+        (CFG.replace(max_disparity=16, window_radius=3), (20, 100)),
+    ],
+    ids=["base", "ad_cost", "multitile_odd", "d16_r3"],
+)
+def test_dlanes_outputs_match_jnp_volume(cfg, shape):
+    h, w = shape
+    pair = synthetic.make_pair(
+        height=h, width=w, max_disparity=cfg.max_disparity, seed=3
+    )
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+
+    outs = J(asw_dlanes.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+
+    bd_ref = np.argmin(vol, -1)
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), bd_ref)
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(
+        np.asarray(outs["rbestd"]), np.argmin(volr, -1)
+    )
+    D = cfg.max_disparity
+    cm_ref = np.take_along_axis(vol, (bd_ref - 1).clip(0)[..., None], -1)[..., 0]
+    cp_ref = np.take_along_axis(
+        vol, (bd_ref + 1).clip(0, D - 1)[..., None], -1
+    )[..., 0]
+    mask = (bd_ref > 0) & (bd_ref < D - 1)
+    np.testing.assert_allclose(
+        np.asarray(outs["cm"])[mask], cm_ref[mask], rtol=1e-4, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["cp"])[mask], cp_ref[mask], rtol=1e-4, atol=1e-3
+    )
+
+
+def test_dlanes_pipeline_end_to_end_matches_jnp():
+    cfg = CFG.replace(
+        backend="pallas", lr_check=True, fill_holes=True, subpixel=True,
+        median_filter=True,
+    )
+    assert asw_dlanes.routed(cfg)
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=5)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    d_pal = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    d_jnp = np.asarray(J(pipeline.match_pair, cfg=cfg.replace(backend="jnp"))(l, r))
+    agree = np.mean(np.abs(d_pal - d_jnp) <= 0.51)
+    assert agree > 0.99, f"disagreement {1 - agree:.4%}"
+    assert np.mean(np.abs(d_pal - d_jnp) > 2.0) < 0.005
+
+
+def test_dlanes_routing_rules():
+    assert asw_dlanes.routed(CFG.replace(backend="pallas"))
+    # symmetric weights stay on the x-lanes kernel
+    assert not asw_dlanes.routed(CFG.replace(asw_symmetric=True))
+    # forcing xlanes wins
+    assert not asw_dlanes.routed(CFG.replace(kernel_layout="xlanes"))
+    # forcing dlanes on an unsupported config is a loud error
+    with pytest.raises(ValueError):
+        asw_dlanes.routed(
+            CFG.replace(asw_symmetric=True, kernel_layout="dlanes")
+        )
+    with pytest.raises(ValueError):
+        asw_dlanes.routed(
+            CFG.replace(max_disparity=256, kernel_layout="dlanes")
+        )
+
+
+def test_dlanes_tiled_equals_untiled_exactly():
+    """Per-pixel accumulation order is position-independent, so the y-tiled
+    path through the dlanes kernel is bit-exact vs untiled — the same
+    invariant the x-lanes kernel pins."""
+    from aswstereomatch_tpu.parallel import mesh as mesh_lib
+    from aswstereomatch_tpu.parallel import tiling
+
+    cfg = CFG.replace(
+        backend="pallas", lr_check=True, fill_holes=True, subpixel=True,
+        median_filter=True, window_radius=3, max_disparity=8,
+    )
+    pair = synthetic.make_pair(height=96, width=128, max_disparity=8, seed=7)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    m = mesh_lib.build_mesh(data=1, tile=4)
+    out = np.asarray(
+        J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(l, r)
+    )
+    np.testing.assert_array_equal(out, ref)
