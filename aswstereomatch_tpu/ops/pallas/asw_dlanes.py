@@ -6,26 +6,43 @@ its issue budget.  With LEFT-ONLY weights (``asw_symmetric=False``) the
 bilateral weights are disparity-invariant, which unlocks a layout where the
 rotate disappears entirely: put **x in sublanes and d in lanes**.  Each
 (pixel, window-tap) weight then multiplies a whole 128-disparity vreg row,
-window taps become *static sublane slices* of per-row cost planes (the cheap
-class of Mosaic relayout), and the d loop vanishes into the vector lanes:
+and — the round-2 insight — the window-column loop
 
-    num[x, :] += w(x; dy, dx) * C[y+dy][x+dx, :]     (one bcast-FMA per tap)
+    num[x, :] += w(x; dy, dx) * C[y+dy][x+dx, :]      for dx in range(K)
 
-Per-tap vreg traffic drops from ~4.6 to ~2.3 touches/FMA-element (measured
-2.05x end-to-end at KITTI geometry; see docs/PERF_NOTES.md round 2).
+is a *banded matrix product*: with B[x, q] = w[x, q - x] (zero off the
+band q - x in [0, K)),
+
+    num = B @ C[y+dy]          # (TXS, 128) @ (128, 128) on the MXU
+
+so the FLOP-dominant aggregation runs on the systolic array instead of K
+scalar-broadcast VPU passes.
+
+Building B is nearly free, because in band coordinates the window tap is
+**independent of the output column**: the tap at (x, lane q) is
+Lab(y+dy, q - r) for every x.  So
+
+    B[x, q] = exp(-||Lab(y, x) - Lab(y+dy, q-r)|| / gamma_c) * SW[dy][x, q]
+
+is an outer difference of a center *column* (TXS, 1) against a Lab *row*
+(1, 128) — three broadcast-subtract-squares — and SW[dy][x, q] =
+sw_spatial[dy, q-x] (zero off-band) is a compile-time numpy constant that
+carries both the spatial weight and the band masking.  No per-step shear,
+no tap gather, no channel folding.
 
 Stage structure (SURVEY.md sections 3.2, 7 PR3; reference analog: the same
-5-deep aggregateASW loop, specialised to left-only weights):
+5-deep aggregateASW loop of SURVEY.md section 2.1, specialised to left-only
+weights):
 
   1. XLA precomputes (a) the raw cost volume in (y, x, d-lane) layout using
      the exact shared border semantics of ops/cost.py — the volume IS
-     materialized here (238 MB at KITTI scale), traded for the kernel's 2x
-     issue-rate win; HBM traffic stays ~2 GB/pair, ~3% of kernel time — and
-     (b) the left-Lab window taps T[y, x, j] = Lab(y, x + j - r) so in-kernel
-     weight rows are pure reads + exp.
+     materialized here (238 MB at KITTI scale), traded for the kernel's
+     MXU win; HBM traffic stays ~2.5 GB/pair, a few ms — and (b) two thin
+     Lab layouts: center columns (y, x-sublane, c-lane) and per-x-tile Lab
+     rows (tile, y, c-sublane, q-lane).
   2. The Pallas grid tiles (TYO x TXS) outputs; per output row a fori over
-     window rows dy builds the (TXS, K) weight plane (exp amortized over all
-     128 lanes of d at once) and runs the K static-slice FMAs.
+     window rows dy builds the banded weight plane (exp amortized over all
+     128 lanes) and issues one MXU matmul against the cost row.
   3. WTA + the subpixel triple are lane reductions (first-occurrence argmin
      via min-of-index-where-minimal); the right-view partial argmin is a
      log-shear of the aggregated plane along the d-diagonal — the same
@@ -33,11 +50,16 @@ Stage structure (SURVEY.md sections 3.2, 7 PR3; reference analog: the same
      ``asw_kernel._combine_right4`` and all downstream post-processing are
      shared unchanged.
 
-Exactness: per-pixel accumulation order is (dy asc, dx asc) — position
-independent, so tiled == untiled stays bit-exact (the same invariant the
-x-lanes kernel pins).  Against the jnp oracle the reduction order differs
-(jnp sums a (dy, dx) scan tree), so parity tests use the argmin-agreement
-bound, like the x-lanes end-to-end tests.
+Box mode: with ``aggregation="box"`` the weight plane is the constant
+uniform band itself (no exp, no Lab reads), so box aggregation + dual-view
+WTA rides the same MXU matmul — see ``supports``.
+
+Exactness: per-pixel accumulation order is (dy asc, then one f32
+(precision=HIGHEST) dot over dx) — position independent, so tiled ==
+untiled stays bit-exact (the same invariant the x-lanes kernel pins).
+Against the jnp oracle the reduction order differs (jnp sums a (dy, dx)
+scan tree), so parity tests use the argmin-agreement bound, like the
+x-lanes end-to-end tests.
 """
 
 from __future__ import annotations
@@ -58,10 +80,11 @@ from .. import preprocess
 from . import asw_kernel
 
 # Output tile: TYO rows x TXS columns (x in sublanes).  TXS=64 keeps the
-# (TXS, 128) accumulator at 8 vregs (register-resident through the tap loop)
-# and the cost window (RT, TXS+2r, 128) within VMEM.
-TILE_YO = 8
+# band matrix B at (64, 128) — q = x + dx <= 63 + 63 < 128 for every
+# supported window — and the cost window (RT, 128, 128) within VMEM.
+TILE_YO = 16
 TILE_XS = 64
+XW = 128  # cost-window q extent: one full lane-width band per tile
 
 BIG = np.float32(1e30)  # finite +inf stand-in: avoids 0*inf NaN paths
 
@@ -71,30 +94,54 @@ def _ru8(n: int) -> int:
 
 
 def supports(cfg: StereoConfig) -> bool:
-    """Left-only ASW with D <= 128 (one lane vreg) and K <= 64 taps."""
-    return (
-        cfg.aggregation == "asw"
-        and not cfg.asw_symmetric
-        and 2 <= cfg.max_disparity <= 128
-        and cfg.window_size <= 64
-    )
+    """Left-only ASW — or box — with D <= 128 (one lane vreg) and a window
+    whose band fits one lane width (TXS + K - 1 <= 128, i.e. K <= 65)."""
+    if not (2 <= cfg.max_disparity <= 128):
+        return False
+    if TILE_XS + cfg.window_size - 1 > XW:
+        return False
+    if cfg.aggregation == "box":
+        return True
+    return cfg.aggregation == "asw" and not cfg.asw_symmetric
 
 
 def routed(cfg: StereoConfig) -> bool:
     if cfg.kernel_layout == "dlanes":
         if not supports(cfg):
             raise ValueError(
-                "kernel_layout='dlanes' requires left-only ASW with "
-                "max_disparity in [2, 128] and window_size <= 64"
+                "kernel_layout='dlanes' requires left-only ASW or box "
+                "aggregation with max_disparity in [2, 128] and "
+                "window_size <= 65"
             )
         return True
-    return cfg.kernel_layout == "auto" and supports(cfg)
+    if cfg.kernel_layout != "auto":
+        return False
+    # box stays on its dedicated kernel unless dlanes is forced; the
+    # auto route covers the left-only ASW fast path.
+    return cfg.aggregation == "asw" and supports(cfg)
+
+
+def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:
+    """SW[dy][x, q] = sw_spatial[dy, q - x] for q - x in [0, K), else 0.
+
+    Carries the spatial weight factor AND the band masking as one
+    compile-time constant; for box aggregation it is the uniform band."""
+    K = cfg.window_size
+    if cfg.aggregation == "box":
+        sw = np.ones((K, K), np.float32)
+    else:
+        sw = asw_kernel._spatial_weights_np(cfg)
+    band = np.zeros((K, TILE_XS, XW), np.float32)
+    for x in range(TILE_XS):
+        band[:, x, x : x + K] = sw
+    return band
 
 
 def _compute(
-    ct,        # ref view (RT, X2, DL): cost window, d in lanes
-    tt,        # ref view (3, RT, TXS, LW): left-Lab window taps
-    sw_ref,    # (K, LW) spatial weights, zero-padded lanes >= K
+    ct,        # ref view (RT, XW, DL): cost window, d in lanes
+    lc,        # ref view (RT, TXS, 128): Lab center columns, lanes 0..2 = c
+    lx,        # ref view (RT, 8, 128): Lab band rows, sublanes 0..2 = c
+    swb_ref,   # (K, TXS, XW) spatial band constant (zero off-band)
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref,    # (1, TXS, TYO) f32   — column-major outputs (x, y);
     bd_ref,    # (1, TXS, TYO) i32     transposed to row-major in XLA
@@ -111,10 +158,9 @@ def _compute(
     K = 2 * r + 1
     D = cfg.max_disparity
     TYO, TXS = TILE_YO, TILE_XS
-    X2 = TXS + 2 * r
     DL = 128
-    LW = sw_ref.shape[1]
     J8 = rc_sc.shape[0]
+    uniform = cfg.aggregation == "box"
     inv_gc = np.float32(1.0 / cfg.gamma_color)
 
     t = pl.program_id(0)
@@ -126,21 +172,33 @@ def _compute(
     sub_x = lax.broadcasted_iota(jnp.int32, (TXS, DL), 0)
 
     def y_body(y, _):
-        # ---- aggregate: fori over window rows, static taps over columns ----
-        ctr = [tt[c, y + r][:, r : r + 1] for c in range(3)]  # (TXS, 1)
+        # ---- per-row constants: center Lab columns ------------------------
+        if not uniform:
+            crow = lc[y + r]  # (TXS, 128); lanes 0..2 hold Lab
+            ctr = [crow[:, c : c + 1] for c in range(3)]
 
+        # ---- aggregate: fori over window rows, one MXU matmul per row ----
         def dy_body(dy, carry):
             num, den = carry
-            sw_row = sw_ref[pl.ds(dy, 1), :]  # (1, LW); 0 for lanes >= K
-            d2 = jnp.zeros((TXS, LW), jnp.float32)
-            for c in range(3):
-                diff = tt[c, y + dy] - ctr[c]
-                d2 = d2 + diff * diff
-            w = jnp.exp(-jnp.sqrt(d2) * inv_gc) * sw_row  # (TXS, LW)
-            den = den + jnp.sum(w, axis=1, keepdims=True)
-            crow = ct[y + dy]  # (X2, DL) read once per (y, dy)
-            for dx in range(K):
-                num = num + w[:, dx : dx + 1] * crow[dx : dx + TXS, :]
+            if uniform:
+                band = swb_ref[dy]  # (TXS, XW) constant uniform band
+            else:
+                rowv = lx[y + dy]  # (8, 128); sublanes 0..2 hold Lab
+                d2 = jnp.zeros((TXS, XW), jnp.float32)
+                for c in range(3):
+                    diff = ctr[c] - rowv[c : c + 1, :]  # (TXS,1)-(1,128)
+                    d2 = d2 + diff * diff
+                band = jnp.exp(-jnp.sqrt(d2) * inv_gc) * swb_ref[dy]
+            den = den + jnp.sum(band, axis=1, keepdims=True)
+            num = num + jax.lax.dot(
+                band,
+                ct[y + dy],
+                # HIGHEST = one f32 pass; Mosaic's dot lowering rejects
+                # HIGH/DEFAULT (NotImplementedError), and bf16 passes would
+                # cost argmin agreement anyway.
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
             return (num, den)
 
         num, den = lax.fori_loop(
@@ -201,34 +259,41 @@ def _compute(
     rd_ref[0] = rd_sc[:, :TYO]
 
 
-def _kernel_blocked(ct_ref, tt_ref, *rest, cfg, nx):
+def _kernel_blocked(ct_ref, lc_ref, lx_ref, *rest, cfg, nx):
     """Interpret/test path: overlapping windows pre-materialized as blocks."""
-    _compute(ct_ref.at[0], tt_ref.at[0], *rest, cfg=cfg, nx=nx)
+    _compute(ct_ref.at[0], lc_ref.at[0], lx_ref.at[0], *rest, cfg=cfg, nx=nx)
 
 
 def _kernel_dma(
-    ct_hbm, tt_hbm, sw_ref, nv_ref, *rest, cfg, nx
+    ct_hbm, lc_hbm, lx_hbm, swb_ref, nv_ref, *rest, cfg, nx
 ):
-    """Hardware path: cost volume / Lab taps stay untiled in HBM; each grid
+    """Hardware path: cost volume / Lab planes stay untiled in HBM; each grid
     step DMAs its overlapping window into VMEM scratch.  Avoids the 7.5x
     data amplification (and ~80 ms/pair of XLA gather time at KITTI scale)
     of materializing overlapped tiles."""
-    outs, (ct_sc, tt_sc, csem, tsem), scr = rest[:6], rest[6:10], rest[10:]
+    outs, dma, scr = rest[:6], rest[6:12], rest[12:]
+    ct_sc, lc_sc, lx_sc, csem, lcsem, lxsem = dma
     TYO, TXS = TILE_YO, TILE_XS
-    RT, X2 = ct_sc.shape[0], ct_sc.shape[1]
+    RT = ct_sc.shape[0]
     t = pl.program_id(0)
     iy, ix = t // nx, t % nx
     ccopy = pltpu.make_async_copy(
-        ct_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, X2), :], ct_sc, csem
-    )
-    tcopy = pltpu.make_async_copy(
-        tt_hbm.at[:, pl.ds(iy * TYO, RT), pl.ds(ix * TXS, TXS), :], tt_sc, tsem
+        ct_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, XW), :], ct_sc, csem
     )
     ccopy.start()
-    tcopy.start()
+    if cfg.aggregation != "box":  # box weights need no Lab planes
+        lcopy = pltpu.make_async_copy(
+            lc_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, TXS), :], lc_sc, lcsem
+        )
+        xcopy = pltpu.make_async_copy(
+            lx_hbm.at[ix, pl.ds(iy * TYO, RT)], lx_sc, lxsem
+        )
+        lcopy.start()
+        xcopy.start()
+        lcopy.wait()
+        xcopy.wait()
     ccopy.wait()
-    tcopy.wait()
-    _compute(ct_sc, tt_sc, sw_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
+    _compute(ct_sc, lc_sc, lx_sc, swb_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
 
 
 def _extract_tiles_3d(arr, ny, nx, ty, tx, bh, bw):
@@ -246,46 +311,64 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     """Fused d-lanes kernel over an image pair; same output dict as
     asw_kernel.wta_outputs (bestd/bestc/cm/cp + rbestd)."""
     if not supports(cfg):
-        raise ValueError("dlanes kernel requires left-only ASW, D in [2,128]")
+        raise ValueError(
+            "dlanes kernel requires left-only ASW or box, D in [2,128], "
+            "window_size <= 65"
+        )
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
     H, W = left.shape[:2]
     TYO, TXS = TILE_YO, TILE_XS
-    X2 = TXS + 2 * r
     RT = TYO + 2 * r
     DL = 128
-    LW = 128  # lane width of the tap/weight planes: DMA lane slices must
-              # be 128-aligned, so taps are padded to a full lane vreg
     J8 = _ru8(TXS + D - 1)
     ny = math.ceil(H / TYO)
     nx = math.ceil(W / TXS)
     T = ny * nx
+    XT = nx * TXS
+    uniform = cfg.aggregation == "box"
 
     # ---- cost volume, (y, x+r-extended, d) with pinned border semantics ----
     vol = cost_lib.cost_volume(left, right, cfg, x_extend=r)  # (H, W+2r, D)
     vol = jnp.pad(
         vol,
-        ((r, ny * TYO - H + r), (0, (nx - 1) * TXS + X2 - (W + 2 * r)), (0, 0)),
+        ((r, ny * TYO - H + r), (0, (nx - 1) * TXS + XW - (W + 2 * r)), (0, 0)),
         mode="edge",
     )
     vol = jnp.pad(vol, ((0, 0), (0, 0), (0, DL - D)), constant_values=BIG)
 
-    # ---- left-Lab window taps T[y, x, j] = Lab(y, x + j - r) ---------------
-    lab = preprocess.rgb_to_lab(left)  # (H, W, 3)
-    labp = jnp.pad(
-        lab,
-        ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + TXS + r - W), (0, 0)),
-        mode="edge",
-    )
-    taps = jnp.stack(
-        [labp[:, j : j + nx * TXS] for j in range(K)], axis=-1
-    )  # (Hp, nx*TXS, 3, K)
-    taps = jnp.pad(taps, ((0, 0), (0, 0), (0, 0), (0, LW - K)))
+    # ---- Lab planes: center columns + per-tile band rows -------------------
+    if uniform:
+        # Box weights are image-independent; the Lab operands are never
+        # read (static branch), only shape-checked — keep them minimal.
+        lc = jnp.zeros((8, 8, 128), jnp.float32)
+        lxw = jnp.zeros((1, 8, 8, 128), jnp.float32)
+    else:
+        lab = preprocess.rgb_to_lab(left)  # (H, W, 3)
+        labp = jnp.pad(
+            lab,
+            ((r, ny * TYO - H + r), (0, XT - W), (0, 0)),
+            mode="edge",
+        )  # (Hp, XT, 3)
+        lc = jnp.pad(labp, ((0, 0), (0, 0), (0, 128 - 3)))
+        # Band rows: lxw[ix, y, c, j] = Lab_c(y, ix*TXS + j - r), j < 128.
+        labx = jnp.pad(
+            lab,
+            ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + XW - r - W), (0, 0)),
+            mode="edge",
+        )  # (Hp, (nx-1)*TXS + XW, 3); column j of tile ix at index ix*TXS + j
+        lxw = jnp.stack(
+            [
+                jnp.moveaxis(labx[:, ix * TXS : ix * TXS + XW], 2, 1)
+                for ix in range(nx)
+            ],
+            axis=0,
+        )  # (nx, Hp, 3, XW)
+        lxw = jnp.pad(lxw, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
 
     interpret = asw_kernel._interpret()
-    sw = np.zeros((K, LW), np.float32)
-    sw[:, :K] = asw_kernel._spatial_weights_np(cfg)
+    swb = _spatial_band_np(cfg)
 
     compute_scratch = [
         pltpu.VMEM((TXS, 128), jnp.float32),
@@ -298,40 +381,51 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     if interpret:
         # Test path: pre-materialize overlapping tiles (DMA semantics are
         # hardware-only); the compute body is shared with the DMA path.
-        ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, X2)
+        ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
+        if uniform:
+            lctiles = jnp.zeros((T, RT, TXS, 128), jnp.float32)
+            lxtiles = jnp.zeros((T, RT, 8, XW), jnp.float32)
+        else:
+            lctiles = _extract_tiles_3d(lc, ny, nx, TYO, TXS, RT, TXS)
 
-        def get_t(t):
-            iy, ix = t // nx, t % nx
-            blk = lax.dynamic_slice(
-                taps, (iy * TYO, ix * TXS, 0, 0), (RT, TXS, 3, LW)
-            )
-            return jnp.transpose(blk, (2, 0, 1, 3))  # (3, RT, TXS, LW)
+            def get_x(t):
+                iy, ix = t // nx, t % nx
+                return lax.dynamic_slice(
+                    lxw, (ix, iy * TYO, 0, 0), (1, RT, 8, XW)
+                )[0]
 
-        ttiles = jax.vmap(get_t)(jnp.arange(T))
+            lxtiles = jax.vmap(get_x)(jnp.arange(T))
         kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx)
-        data_in = (ctiles, ttiles)
+        data_in = (ctiles, lctiles, lxtiles)
         data_specs = [
             pl.BlockSpec(
-                (1, RT, X2, DL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, RT, XW, DL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 3, RT, TXS, LW),
-                lambda t: (t, 0, 0, 0, 0),
+                (1, RT, TXS, 128),
+                lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RT, 8, XW),
+                lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ]
         scratch = compute_scratch
     else:
-        taps_t = jnp.transpose(taps, (2, 0, 1, 3))  # (3, Hp, nx*TXS, LW)
         kern = functools.partial(_kernel_dma, cfg=cfg, nx=nx)
-        data_in = (vol, taps_t)
+        data_in = (vol, lc, lxw)
         data_specs = [
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ]
         scratch = [
-            pltpu.VMEM((RT, X2, DL), jnp.float32),
-            pltpu.VMEM((3, RT, TXS, LW), jnp.float32),
+            pltpu.VMEM((RT, XW, DL), jnp.float32),
+            pltpu.VMEM((RT, TXS, 128), jnp.float32),
+            pltpu.VMEM((RT, 8, XW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ] + compute_scratch
@@ -345,7 +439,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
     ]
     in_specs = data_specs + [
-        pl.BlockSpec((K, LW), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, TXS, XW), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
@@ -380,13 +474,13 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
             vmem_limit_bytes=asw_kernel.VMEM_LIMIT_BYTES,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=T * 2 * K * K * TYO * TXS * DL,
-            bytes_accessed=T * (RT * X2 * DL + 3 * RT * TXS * LW) * 4,
-            transcendentals=T * TYO * K * TXS * LW,
+            flops=T * 2 * K * TYO * TXS * XW * DL,
+            bytes_accessed=T * (RT * XW * DL + RT * TXS * 128) * 4,
+            transcendentals=T * TYO * K * TXS * XW,
         ),
     )(
         *data_in,
-        jnp.asarray(sw),
+        jnp.asarray(swb),
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 

@@ -89,6 +89,29 @@ def test_dlanes_pipeline_end_to_end_matches_jnp():
     assert np.mean(np.abs(d_pal - d_jnp) > 2.0) < 0.005
 
 
+@pytest.mark.parametrize("shape", [(24, 40), (21, 150)], ids=["one", "multi"])
+def test_dlanes_box_mode_matches_jnp_volume(shape):
+    """Box aggregation through the dlanes MXU kernel (uniform band, no Lab
+    reads) against the jnp box volume; opt-in via kernel_layout."""
+    h, w = shape
+    cfg = StereoConfig(
+        max_disparity=16, cost="tad_grad", aggregation="box",
+        window_radius=3, kernel_layout="dlanes",
+    )
+    pair = synthetic.make_pair(height=h, width=w, max_disparity=16, seed=3)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = J(asw_dlanes.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), np.argmin(vol, -1))
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(
+        np.asarray(outs["rbestd"]), np.argmin(volr, -1)
+    )
+
+
 def test_dlanes_routing_rules():
     assert asw_dlanes.routed(CFG.replace(backend="pallas"))
     # symmetric weights stay on the x-lanes kernel
