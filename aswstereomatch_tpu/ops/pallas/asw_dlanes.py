@@ -41,8 +41,12 @@ weights):
      Lab layouts: center columns (y, x-sublane, c-lane) and per-x-tile Lab
      rows (tile, y, c-sublane, q-lane).
   2. The Pallas grid tiles (TYO x TXS) outputs; per output row a fori over
-     window rows dy builds the banded weight plane (exp amortized over all
-     128 lanes) and issues one MXU matmul against the cost row.
+     window rows dy builds the banded weight planes (exp amortized over all
+     128 lanes) side by side into one (TXS, K*XW) matrix, then a SINGLE
+     K*XW-deep MXU dot against the flattened cost rows y..y+K-1 performs
+     the whole (dy, dx) aggregation.  One big dot pipelines its internal
+     128-deep passes; K small per-dy dots each paid full MXU issue latency
+     serialized through the fori carry (~5x slower measured at K=33).
   3. WTA + the subpixel triple are lane reductions (first-occurrence argmin
      via min-of-index-where-minimal); the right-view partial argmin is a
      log-shear of the aggregated plane along the d-diagonal — the same
@@ -54,8 +58,8 @@ Box mode: with ``aggregation="box"`` the weight plane is the constant
 uniform band itself (no exp, no Lab reads), so box aggregation + dual-view
 WTA rides the same MXU matmul — see ``supports``.
 
-Exactness: per-pixel accumulation order is (dy asc, then one f32
-(precision=HIGHEST) dot over dx) — position independent, so tiled ==
+Exactness: per-pixel accumulation is one f32 (precision=HIGHEST) dot over
+the joint (dy, dx) contraction — position independent, so tiled ==
 untiled stays bit-exact (the same invariant the x-lanes kernel pins).
 Against the jnp oracle the reduction order differs (jnp sums a (dy, dx)
 scan tree), so parity tests use the argmin-agreement bound, like the
@@ -107,6 +111,8 @@ def supports(cfg: StereoConfig) -> bool:
 
 def routed(cfg: StereoConfig) -> bool:
     if cfg.kernel_layout == "dlanes":
+        if cfg.aggregation == "asw" and cfg.asw_symmetric:
+            return False  # asw_sym_dlanes claims (or loudly rejects) these
         if not supports(cfg):
             raise ValueError(
                 "kernel_layout='dlanes' requires left-only ASW or box "
@@ -116,8 +122,12 @@ def routed(cfg: StereoConfig) -> bool:
         return True
     if cfg.kernel_layout != "auto":
         return False
-    # box stays on its dedicated kernel unless dlanes is forced; the
-    # auto route covers the left-only ASW fast path.
+    # auto covers the left-only ASW fast path.  Box stays on the dedicated
+    # running-sum kernel by default — the big-dot form is ~2x faster (24.1
+    # vs 12.7 pairs/s at KITTI geometry, opt-in via kernel_layout="dlanes")
+    # but parallel/dshard.py drives the windowed kernel per d-slab, and
+    # flipping only the unsharded default would break the pinned
+    # dsharded == unsharded bit-exactness invariant.
     return cfg.aggregation == "asw" and supports(cfg)
 
 
@@ -125,7 +135,9 @@ def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:
     """SW[dy][x, q] = sw_spatial[dy, q - x] for q - x in [0, K), else 0.
 
     Carries the spatial weight factor AND the band masking as one
-    compile-time constant; for box aggregation it is the uniform band."""
+    compile-time constant.  For box aggregation the uniform band is
+    image-independent, so it ships pre-flattened in the (TXS, K*XW) layout
+    the big dot consumes — no in-kernel band assembly at all."""
     K = cfg.window_size
     if cfg.aggregation == "box":
         sw = np.ones((K, K), np.float32)
@@ -134,14 +146,63 @@ def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:
     band = np.zeros((K, TILE_XS, XW), np.float32)
     for x in range(TILE_XS):
         band[:, x, x : x + K] = sw
+    if cfg.aggregation == "box":
+        return np.moveaxis(band, 0, 1).reshape(TILE_XS, K * XW)
     return band
 
 
+def _wta_writeback(
+    agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc
+):
+    """Left-view WTA + subpixel triple + right-view partial argmin for one
+    aggregated row ``agg`` (TXS, DL); writes the lane-y scratch planes.
+    Shared by the left-only and symmetric d-lanes kernels."""
+    TXS, DL = agg.shape
+    J8 = rc_sc.shape[0]
+    lane_d = lax.broadcasted_iota(jnp.int32, (TXS, DL), 1)
+    lane_dj = lax.broadcasted_iota(jnp.int32, (J8, DL), 1)
+    sub_x = lax.broadcasted_iota(jnp.int32, (TXS, DL), 0)
+
+    # ---- left-view WTA + subpixel triple: lane reductions -----------------
+    minv = jnp.min(agg, axis=1, keepdims=True)
+    cand = jnp.where(agg == minv, lane_d, DL)
+    bd = jnp.min(cand, axis=1, keepdims=True)  # first-occurrence argmin
+    cmv = jnp.sum(jnp.where(lane_d == bd - 1, agg, 0.0), axis=1, keepdims=True)
+    cpv = jnp.sum(jnp.where(lane_d == bd + 1, agg, 0.0), axis=1, keepdims=True)
+
+    ymask_x = lax.broadcasted_iota(jnp.int32, (TXS, 128), 1) == y
+    bc_sc[...] = jnp.where(ymask_x, minv, bc_sc[...])
+    bd_sc[...] = jnp.where(ymask_x, bd, bd_sc[...])
+    cm_sc[...] = jnp.where(ymask_x, cmv, cm_sc[...])
+    cp_sc[...] = jnp.where(ymask_x, cpv, cp_sc[...])
+
+    # ---- right-view partial: log-shear along the d-diagonal ---------------
+    # Target: M[j, d] = agg[j - (D-1) + d, d]; lane d shifts down by
+    # (D-1-d).  Rows [TXS, J8) start BIG, so every wrapped row during the
+    # masked log-rolls is BIG by construction (shift <= D-1 <= J8 - TXS).
+    aggr = jnp.where(x0 + sub_x < n_valid, agg, BIG)
+    m = jnp.concatenate(
+        [aggr, jnp.full((J8 - TXS, DL), BIG, jnp.float32)], axis=0
+    )
+    shift = (D - 1) - lane_dj
+    b = 1
+    while b < D:
+        m = jnp.where((shift & b) != 0, pltpu.roll(m, b, axis=0), m)
+        b *= 2
+    rminv = jnp.min(m, axis=1, keepdims=True)
+    rcand = jnp.where(m == rminv, lane_dj, DL)
+    rbd = jnp.min(rcand, axis=1, keepdims=True)
+
+    ymask_j = lax.broadcasted_iota(jnp.int32, (J8, 128), 1) == y
+    rc_sc[...] = jnp.where(ymask_j, rminv, rc_sc[...])
+    rd_sc[...] = jnp.where(ymask_j, rbd, rd_sc[...])
+
+
 def _compute(
-    ct,        # ref view (RT, XW, DL): cost window, d in lanes
+    ct2,       # ref view (RT*XW, DL): cost window rows flattened, d in lanes
     lc,        # ref view (RT, TXS, 128): Lab center columns, lanes 0..2 = c
     lx,        # ref view (RT, 8, 128): Lab band rows, sublanes 0..2 = c
-    swb_ref,   # (K, TXS, XW) spatial band constant (zero off-band)
+    swb_ref,   # ASW: (K, TXS, XW) spatial band; box: (TXS, K*XW) flat band
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref,    # (1, TXS, TYO) f32   — column-major outputs (x, y);
     bd_ref,    # (1, TXS, TYO) i32     transposed to row-major in XLA
@@ -150,6 +211,7 @@ def _compute(
     rc_ref,    # (1, J8, TYO) f32    right-view partial (j = x - d + D - 1)
     rd_ref,    # (1, J8, TYO) i32
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,  # (TXS|J8, 128) lane-y planes
+    ball_sc,   # (TXS, K*XW) f32: per-row concatenated bands (big-dot LHS)
     *,
     cfg: StereoConfig,
     nx: int,
@@ -158,8 +220,7 @@ def _compute(
     K = 2 * r + 1
     D = cfg.max_disparity
     TYO, TXS = TILE_YO, TILE_XS
-    DL = 128
-    J8 = rc_sc.shape[0]
+    KXW = K * XW
     uniform = cfg.aggregation == "box"
     inv_gc = np.float32(1.0 / cfg.gamma_color)
 
@@ -167,86 +228,51 @@ def _compute(
     x0 = (t % nx) * TXS
     n_valid = nv_ref[0, 0]
 
-    lane_d = lax.broadcasted_iota(jnp.int32, (TXS, DL), 1)
-    lane_dj = lax.broadcasted_iota(jnp.int32, (J8, DL), 1)
-    sub_x = lax.broadcasted_iota(jnp.int32, (TXS, DL), 0)
-
     def y_body(y, _):
-        # ---- per-row constants: center Lab columns ------------------------
-        if not uniform:
+        # ---- build the (TXS, K*XW) band matrix for this output row --------
+        # The K per-dy banded weight planes are laid side by side in lanes;
+        # the whole (dy, dx) aggregation then rides ONE K*XW-deep MXU dot
+        # against the cost rows y..y+K-1 (contiguous in the flattened ct2).
+        # One big dot pipelines its internal 128-deep passes; K separate
+        # per-dy dots each pay full MXU issue latency serialized through the
+        # fori carry (measured ~5x slower at K=33).
+        if uniform:
+            bl = swb_ref[...]  # constant uniform band, den == K*K
+        else:
             crow = lc[y + r]  # (TXS, 128); lanes 0..2 hold Lab
             ctr = [crow[:, c : c + 1] for c in range(3)]
 
-        # ---- aggregate: fori over window rows, one MXU matmul per row ----
-        def dy_body(dy, carry):
-            num, den = carry
-            if uniform:
-                band = swb_ref[dy]  # (TXS, XW) constant uniform band
-            else:
+            def dy_body(dy, carry):
                 rowv = lx[y + dy]  # (8, 128); sublanes 0..2 hold Lab
                 d2 = jnp.zeros((TXS, XW), jnp.float32)
                 for c in range(3):
                     diff = ctr[c] - rowv[c : c + 1, :]  # (TXS,1)-(1,128)
                     d2 = d2 + diff * diff
                 band = jnp.exp(-jnp.sqrt(d2) * inv_gc) * swb_ref[dy]
-            den = den + jnp.sum(band, axis=1, keepdims=True)
-            num = num + jax.lax.dot(
-                band,
-                ct[y + dy],
-                # HIGHEST = one f32 pass; Mosaic's dot lowering rejects
-                # HIGH/DEFAULT (NotImplementedError), and bf16 passes would
-                # cost argmin agreement anyway.
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return (num, den)
+                ball_sc[:, pl.ds(dy * XW, XW)] = band
+                return carry
 
-        num, den = lax.fori_loop(
-            0,
-            K,
-            dy_body,
-            (jnp.zeros((TXS, DL), jnp.float32), jnp.zeros((TXS, 1), jnp.float32)),
-            unroll=False,
+            lax.fori_loop(0, K, dy_body, 0, unroll=False)
+            bl = ball_sc[...]
+
+        num = jax.lax.dot(
+            bl,
+            ct2[pl.ds(y * XW, KXW), :],
+            # HIGHEST = one f32 pass; Mosaic's dot lowering rejects
+            # HIGH/DEFAULT (NotImplementedError), and bf16 passes would
+            # cost argmin agreement anyway.
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
         )
-        agg = num * (np.float32(1.0) / den)
+        if uniform:
+            agg = num * np.float32(1.0 / (K * K))
+        else:
+            den = jnp.sum(bl, axis=1, keepdims=True)
+            agg = num * (np.float32(1.0) / den)
 
-        # ---- left-view WTA + subpixel triple: lane reductions --------------
-        minv = jnp.min(agg, axis=1, keepdims=True)
-        cand = jnp.where(agg == minv, lane_d, DL)
-        bd = jnp.min(cand, axis=1, keepdims=True)  # first-occurrence argmin
-        cmv = jnp.sum(
-            jnp.where(lane_d == bd - 1, agg, 0.0), axis=1, keepdims=True
+        _wta_writeback(
+            agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc
         )
-        cpv = jnp.sum(
-            jnp.where(lane_d == bd + 1, agg, 0.0), axis=1, keepdims=True
-        )
-
-        ymask_x = lax.broadcasted_iota(jnp.int32, (TXS, 128), 1) == y
-        bc_sc[...] = jnp.where(ymask_x, minv, bc_sc[...])
-        bd_sc[...] = jnp.where(ymask_x, bd, bd_sc[...])
-        cm_sc[...] = jnp.where(ymask_x, cmv, cm_sc[...])
-        cp_sc[...] = jnp.where(ymask_x, cpv, cp_sc[...])
-
-        # ---- right-view partial: log-shear along the d-diagonal ------------
-        # Target: M[j, d] = agg[j - (D-1) + d, d]; lane d shifts down by
-        # (D-1-d).  Rows [TXS, J8) start BIG, so every wrapped row during the
-        # masked log-rolls is BIG by construction (shift <= D-1 <= J8 - TXS).
-        aggr = jnp.where(x0 + sub_x < n_valid, agg, BIG)
-        m = jnp.concatenate(
-            [aggr, jnp.full((J8 - TXS, DL), BIG, jnp.float32)], axis=0
-        )
-        shift = (D - 1) - lane_dj
-        b = 1
-        while b < D:
-            m = jnp.where((shift & b) != 0, pltpu.roll(m, b, axis=0), m)
-            b *= 2
-        rminv = jnp.min(m, axis=1, keepdims=True)
-        rcand = jnp.where(m == rminv, lane_dj, DL)
-        rbd = jnp.min(rcand, axis=1, keepdims=True)
-
-        ymask_j = lax.broadcasted_iota(jnp.int32, (J8, 128), 1) == y
-        rc_sc[...] = jnp.where(ymask_j, rminv, rc_sc[...])
-        rd_sc[...] = jnp.where(ymask_j, rbd, rd_sc[...])
         return ()
 
     lax.fori_loop(0, TILE_YO, y_body, (), unroll=False)
@@ -260,7 +286,8 @@ def _compute(
 
 
 def _kernel_blocked(ct_ref, lc_ref, lx_ref, *rest, cfg, nx):
-    """Interpret/test path: overlapping windows pre-materialized as blocks."""
+    """Interpret/test path: overlapping windows pre-materialized as blocks
+    (cost tiles arrive already flattened to (RT*XW, DL))."""
     _compute(ct_ref.at[0], lc_ref.at[0], lx_ref.at[0], *rest, cfg=cfg, nx=nx)
 
 
@@ -293,7 +320,81 @@ def _kernel_dma(
         lcopy.wait()
         xcopy.wait()
     ccopy.wait()
-    _compute(ct_sc, lc_sc, lx_sc, swb_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
+    # (RT, XW, DL) -> (RT*XW, DL): layout-free (XW is a whole sublane tile),
+    # so cost rows y..y+K-1 are one contiguous big-dot RHS slice.
+    ct2 = ct_sc.reshape(RT * XW, ct_sc.shape[2])
+    _compute(ct2, lc_sc, lx_sc, swb_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
+
+
+def _padded_volume(left, right, cfg, H, W, ny, nx):
+    """d-lanes cost volume (ny*TYO + 2r, (nx-1)*TXS + XW, 128): rows/cols
+    edge-padded to the tile grid, d padded to the 128-lane vreg with BIG.
+    Shared by the left-only and symmetric d-lanes kernels."""
+    r = cfg.window_radius
+    D = cfg.max_disparity
+    vol = cost_lib.cost_volume(left, right, cfg, x_extend=r)  # (H, W+2r, D)
+    vol = jnp.pad(
+        vol,
+        (
+            (r, ny * TILE_YO - H + r),
+            (0, (nx - 1) * TILE_XS + XW - (W + 2 * r)),
+            (0, 0),
+        ),
+        mode="edge",
+    )
+    return jnp.pad(vol, ((0, 0), (0, 0), (0, 128 - D)), constant_values=BIG)
+
+
+def _left_lab_planes(lab, cfg, H, W, ny, nx):
+    """(lc, lxw) Lab operand planes from a converted left image:
+    lc (Hp, nx*TXS, 128) center columns (lanes 0..2 = channels);
+    lxw (nx, Hp, 8, XW) per-tile band rows lxw[ix, y, c, j] =
+    Lab_c(y, ix*TXS + j - r)."""
+    r = cfg.window_radius
+    TYO, TXS = TILE_YO, TILE_XS
+    XT = nx * TXS
+    labp = jnp.pad(
+        lab, ((r, ny * TYO - H + r), (0, XT - W), (0, 0)), mode="edge"
+    )  # (Hp, XT, 3)
+    lc = jnp.pad(labp, ((0, 0), (0, 0), (0, 128 - 3)))
+    labx = jnp.pad(
+        lab,
+        ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + XW - r - W), (0, 0)),
+        mode="edge",
+    )  # (Hp, (nx-1)*TXS + XW, 3); column j of tile ix at index ix*TXS + j
+    lxw = jnp.stack(
+        [
+            jnp.moveaxis(labx[:, ix * TXS : ix * TXS + XW], 2, 1)
+            for ix in range(nx)
+        ],
+        axis=0,
+    )  # (nx, Hp, 3, XW)
+    return lc, jnp.pad(lxw, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
+
+
+def _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D):
+    """Column-major per-tile WTA outputs -> the wta_outputs dict (bestd /
+    bestc / cm / cp / rbestd), including the cross-tile right-view merge."""
+    J8 = rc.shape[1]
+    TYO, TXS = TILE_YO, TILE_XS
+
+    def untile(a):  # (T, S, TYO) column-major -> (ny*TYO, nx*S) row-major
+        s = a.shape[1]
+        a = a.reshape(ny, nx, s, TYO)
+        a = jnp.moveaxis(a, 3, 1)  # (ny, TYO, nx, S)
+        return a.reshape(ny * TYO, nx * s)
+
+    out = {
+        "bestd": untile(bd)[:H, :W],
+        "bestc": untile(bc)[:H, :W],
+        "cm": untile(cm)[:H, :W],
+        "cp": untile(cp)[:H, :W],
+    }
+    rc4 = jnp.moveaxis(rc.reshape(ny, nx, J8, TYO), 3, 2)  # (ny, nx, TYO, J8)
+    rd4 = jnp.moveaxis(rd.reshape(ny, nx, J8, TYO), 3, 2)
+    _, own_d, _, _ = asw_kernel._combine_right4(rc4, rd4, H, W, D, TXS)
+    out["rbestd"] = own_d
+    return out
 
 
 def _extract_tiles_3d(arr, ny, nx, ty, tx, bh, bw):
@@ -330,13 +431,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     uniform = cfg.aggregation == "box"
 
     # ---- cost volume, (y, x+r-extended, d) with pinned border semantics ----
-    vol = cost_lib.cost_volume(left, right, cfg, x_extend=r)  # (H, W+2r, D)
-    vol = jnp.pad(
-        vol,
-        ((r, ny * TYO - H + r), (0, (nx - 1) * TXS + XW - (W + 2 * r)), (0, 0)),
-        mode="edge",
-    )
-    vol = jnp.pad(vol, ((0, 0), (0, 0), (0, DL - D)), constant_values=BIG)
+    vol = _padded_volume(left, right, cfg, H, W, ny, nx)
 
     # ---- Lab planes: center columns + per-tile band rows -------------------
     if uniform:
@@ -346,26 +441,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         lxw = jnp.zeros((1, 8, 8, 128), jnp.float32)
     else:
         lab = preprocess.rgb_to_lab(left)  # (H, W, 3)
-        labp = jnp.pad(
-            lab,
-            ((r, ny * TYO - H + r), (0, XT - W), (0, 0)),
-            mode="edge",
-        )  # (Hp, XT, 3)
-        lc = jnp.pad(labp, ((0, 0), (0, 0), (0, 128 - 3)))
-        # Band rows: lxw[ix, y, c, j] = Lab_c(y, ix*TXS + j - r), j < 128.
-        labx = jnp.pad(
-            lab,
-            ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + XW - r - W), (0, 0)),
-            mode="edge",
-        )  # (Hp, (nx-1)*TXS + XW, 3); column j of tile ix at index ix*TXS + j
-        lxw = jnp.stack(
-            [
-                jnp.moveaxis(labx[:, ix * TXS : ix * TXS + XW], 2, 1)
-                for ix in range(nx)
-            ],
-            axis=0,
-        )  # (nx, Hp, 3, XW)
-        lxw = jnp.pad(lxw, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
+        lc, lxw = _left_lab_planes(lab, cfg, H, W, ny, nx)
 
     interpret = asw_kernel._interpret()
     swb = _spatial_band_np(cfg)
@@ -377,11 +453,13 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pltpu.VMEM((TXS, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.int32),
+        pltpu.VMEM((TXS, K * XW), jnp.float32),  # big-dot LHS band matrix
     ]
     if interpret:
         # Test path: pre-materialize overlapping tiles (DMA semantics are
         # hardware-only); the compute body is shared with the DMA path.
         ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
+        ctiles = ctiles.reshape(T, RT * XW, DL)
         if uniform:
             lctiles = jnp.zeros((T, RT, TXS, 128), jnp.float32)
             lxtiles = jnp.zeros((T, RT, 8, XW), jnp.float32)
@@ -399,7 +477,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         data_in = (ctiles, lctiles, lxtiles)
         data_specs = [
             pl.BlockSpec(
-                (1, RT, XW, DL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM
+                (1, RT * XW, DL), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 (1, RT, TXS, 128),
@@ -438,8 +516,15 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.float32),   # rbestc partial
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
     ]
+    swb_spec = (
+        pl.BlockSpec((TXS, K * XW), lambda t: (0, 0), memory_space=pltpu.VMEM)
+        if uniform
+        else pl.BlockSpec(
+            (K, TXS, XW), lambda t: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+    )
     in_specs = data_specs + [
-        pl.BlockSpec((K, TXS, XW), lambda t: (0, 0, 0), memory_space=pltpu.VMEM),
+        swb_spec,
         pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
@@ -484,20 +569,4 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 
-    def untile(a):  # (T, S, TYO) column-major -> (ny*TYO, nx*S) row-major
-        s = a.shape[1]
-        a = a.reshape(ny, nx, s, TYO)
-        a = jnp.moveaxis(a, 3, 1)  # (ny, TYO, nx, S)
-        return a.reshape(ny * TYO, nx * s)
-
-    out = {
-        "bestd": untile(bd)[:H, :W],
-        "bestc": untile(bc)[:H, :W],
-        "cm": untile(cm)[:H, :W],
-        "cp": untile(cp)[:H, :W],
-    }
-    rc4 = jnp.moveaxis(rc.reshape(ny, nx, J8, TYO), 3, 2)  # (ny, nx, TYO, J8)
-    rd4 = jnp.moveaxis(rd.reshape(ny, nx, J8, TYO), 3, 2)
-    _, own_d, _, _ = asw_kernel._combine_right4(rc4, rd4, H, W, D, TXS)
-    out["rbestd"] = own_d
-    return out
+    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D)
