@@ -175,8 +175,10 @@ def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dic
     """Fused-kernel WTA outputs, picking the data layout per config: the
     disparity-in-lanes kernel for left-only ASW (2x; ops/pallas/asw_dlanes),
     x-in-lanes otherwise."""
-    from ..ops.pallas import asw_dlanes, asw_kernel
+    from ..ops.pallas import asw_dlanes, asw_kernel, asw_sym_dlanes
 
+    if asw_sym_dlanes.routed(cfg):
+        return asw_sym_dlanes.wta_outputs(left, right, cfg)
     if asw_dlanes.routed(cfg):
         return asw_dlanes.wta_outputs(left, right, cfg)
     return asw_kernel.wta_outputs(left, right, cfg)

@@ -15,7 +15,7 @@ import pytest
 from aswstereomatch_tpu.config import StereoConfig
 from aswstereomatch_tpu.models import pipeline
 from aswstereomatch_tpu.ops import postprocess
-from aswstereomatch_tpu.ops.pallas import asw_dlanes
+from aswstereomatch_tpu.ops.pallas import asw_dlanes, asw_sym_dlanes
 from aswstereomatch_tpu.utils import synthetic
 
 
@@ -118,14 +118,29 @@ def test_dlanes_routing_rules():
     assert not asw_dlanes.routed(CFG.replace(asw_symmetric=True))
     # forcing xlanes wins
     assert not asw_dlanes.routed(CFG.replace(kernel_layout="xlanes"))
+    # box is opt-in only (auto keeps the dsharded==unsharded invariant on
+    # the dedicated kernel); forcing dlanes routes it here
+    assert not asw_dlanes.routed(CFG.replace(aggregation="box"))
+    assert asw_dlanes.routed(
+        CFG.replace(aggregation="box", kernel_layout="dlanes")
+    )
+    # symmetric + forced dlanes belongs to the symmetric module
+    assert not asw_dlanes.routed(
+        CFG.replace(asw_symmetric=True, kernel_layout="dlanes")
+    )
+    assert asw_sym_dlanes.routed(
+        CFG.replace(asw_symmetric=True, kernel_layout="dlanes")
+    )
     # forcing dlanes on an unsupported config is a loud error
     with pytest.raises(ValueError):
         asw_dlanes.routed(
-            CFG.replace(asw_symmetric=True, kernel_layout="dlanes")
+            CFG.replace(max_disparity=256, kernel_layout="dlanes")
         )
     with pytest.raises(ValueError):
-        asw_dlanes.routed(
-            CFG.replace(max_disparity=256, kernel_layout="dlanes")
+        asw_sym_dlanes.routed(
+            CFG.replace(
+                asw_symmetric=True, max_disparity=256, kernel_layout="dlanes"
+            )
         )
 
 
@@ -148,3 +163,57 @@ def test_dlanes_tiled_equals_untiled_exactly():
         J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m)(l, r)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+SCFG = CFG.replace(asw_symmetric=True)
+
+
+@pytest.mark.parametrize(
+    "cfg,shape",
+    [
+        (SCFG, (24, 40)),
+        # multiple tiles in both axes + non-divisible H and W
+        (SCFG, (21, 150)),
+        # D > TXS exercises the multi-neighbor right-partial combine
+        (SCFG.replace(max_disparity=16, window_radius=3), (20, 100)),
+    ],
+    ids=["base", "multitile_odd", "d16_r3"],
+)
+def test_sym_dlanes_outputs_match_jnp_volume(cfg, shape):
+    """Symmetric d-lanes kernel vs the jnp symmetric aggregated volume:
+    exact argmin agreement (fp order differs, so values are allclose)."""
+    h, w = shape
+    pair = synthetic.make_pair(
+        height=h, width=w, max_disparity=cfg.max_disparity, seed=3
+    )
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+
+    outs = J(asw_sym_dlanes.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+
+    bd_ref = np.argmin(vol, -1)
+    bd = np.asarray(outs["bestd"])
+    agree = np.mean(bd == bd_ref)
+    assert agree > 0.995, f"argmin disagreement {1 - agree:.4%}"
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    ragree = np.mean(np.asarray(outs["rbestd"]) == np.argmin(volr, -1))
+    assert ragree > 0.995, f"right argmin disagreement {1 - ragree:.4%}"
+
+
+def test_sym_dlanes_pipeline_end_to_end_matches_jnp():
+    cfg = SCFG.replace(
+        backend="pallas", kernel_layout="dlanes", lr_check=True,
+        fill_holes=True, subpixel=True, median_filter=True,
+    )
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=5)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    d_pal = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    d_jnp = np.asarray(
+        J(pipeline.match_pair, cfg=cfg.replace(backend="jnp"))(l, r)
+    )
+    agree = np.mean(np.abs(d_pal - d_jnp) <= 0.51)
+    assert agree > 0.99, f"disagreement {1 - agree:.4%}"
+    assert np.mean(np.abs(d_pal - d_jnp) > 2.0) < 0.005
