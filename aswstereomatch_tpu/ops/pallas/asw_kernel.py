@@ -47,20 +47,52 @@ from jax.experimental.pallas import tpu as pltpu
 from ...config import StereoConfig
 from .. import preprocess
 
-# Output-tile geometry.  TILE_X is one vreg of lanes; TILE_Y = 32 amortizes
-# per-iteration loop/scalar overhead over 4 vregs of rows (measured 23%
-# faster than TY=8 at KITTI geometry; TY=64 exceeds VMEM with D=128 slabs).
-TILE_Y = 32
-TILE_X = 128
+# Output-tile geometry.  The kernel is shuffle-bound, not FMA-bound
+# (measured by ablation, tools/ablate_sym_kernel.py: the per-d right-weight
+# rotate is 40% of runtime and the per-dx unaligned cost-tap slices another
+# 41%, while dropping the den FMA changes nothing).  Both shuffle terms
+# carry a read-amplification factor TXR/TX = ru128(TX + D - 1)/TX — wider
+# tiles amortize the D-wide halo: 2.0x at TX=128/D=128 vs 1.5x at TX=256
+# (measured -15.3% end-to-end, bit-identical).  But wider tiles waste
+# padded columns on narrow images (TX=256 pads Tsukuba's 384 to 512), so
+# _tile_geom picks TX per (W, D) from the measured cost model below.
+# TY complements TX so each vector op still covers 4 full vregs
+# ((32, 128) and (16, 256) are both 4096 elements); TY beyond that exceeds
+# VMEM with D=128 cost slabs (TY=48/64 fail to fit).
+TILE_Y = 32       # for TX=128 (and the dlanes kernels' _combine_right4)
+TILE_X = 128      # narrow-image default; _tile_geom may widen to 256
 
 # Mosaic's default VMEM budget is conservative; raising it is what allows
-# the TY=32 working set (cost slab + accumulators + weight rows ~17 MB).
+# the ~17 MB working set (cost slab + accumulators + weight rows).
 VMEM_LIMIT_BYTES = 100 * 1024 * 1024
 
+# Shuffle share of kernel time (ablation-measured at KITTI geometry);
+# the FMA share is geometry-independent per output element.
+_SHUFFLE_FRAC = 0.45
 
-def _tile_y(h: int) -> int:
-    """Tile height: TILE_Y, or the f32 min tile (8) for short images."""
-    return TILE_Y if h >= TILE_Y else 8
+
+def _tile_x(w: int, d: int) -> int:
+    """Tile width minimizing padded work x shuffle amplification.
+
+    score(TX) = nx * TX * ((1 - s) + s * ru128(TX + D - 1)/TX), s the
+    measured shuffle share.  Picks 256 for KITTI (1242, D=128: -15%
+    measured) and Middlebury (450, D=64), 128 for Tsukuba (384, D=16).
+    """
+    best_tx, best_score = 128, None
+    for tx in (128, 256):
+        nx = -(-w // tx)
+        ratio = _ru128(tx + d - 1) / tx
+        score = nx * tx * ((1.0 - _SHUFFLE_FRAC) + _SHUFFLE_FRAC * ratio)
+        if best_score is None or score < best_score:
+            best_tx, best_score = tx, score
+    return best_tx
+
+
+def _tile_y(h: int, tx: int = TILE_X) -> int:
+    """Tile height: 4 vregs of rows per op (32 at TX=128, 16 at TX=256),
+    or the f32 min tile (8) for short images."""
+    ty = TILE_Y if tx <= 128 else TILE_Y * 128 // tx
+    return ty if h >= ty else 8
 
 
 def _ru128(n: int) -> int:
@@ -145,6 +177,7 @@ def _kernel(
     cfg: StereoConfig,
     nx: int,
     ty: int,
+    tx: int,
 ):
     if cfg.aggregation == "box":
         cost_sc, prev_sc = scratch
@@ -154,7 +187,7 @@ def _kernel(
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
-    TY, TX = ty, TILE_X
+    TY, TX = ty, tx
     TXR = _ru128(TX + D - 1)
     PH = _ru8(TY + 2 * r)
     PWL = _ru128(TX + 2 * r)
@@ -211,7 +244,7 @@ def _kernel(
         # ---- 3. weight rows + (dy, d, dx) accumulation ---------------------
         _accumulate(
             cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
-            slrow_sc, srrow_sc, ty,
+            slrow_sc, srrow_sc, ty, tx,
         )
 
         if cfg.asw_symmetric:
@@ -277,14 +310,14 @@ def _kernel(
 
 
 def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
-                slrow_sc, srrow_sc, ty):
+                slrow_sc, srrow_sc, ty, tx):
     """fori over window rows dy; per row build the bilateral weight planes
     once (exp amortized over all d), then fori over d with the unrolled dx
     accumulation — pure (TY, TX)-vreg mul-adds."""
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
-    TY, TX = ty, TILE_X
+    TY, TX = ty, tx
     TXR = _ru128(TX + D - 1)
     sym = cfg.asw_symmetric
     inv_gc = np.float32(1.0 / cfg.gamma_color)
@@ -415,7 +448,8 @@ def wta_outputs_from_stacks(
     W = ls_ext.shape[2] - 2 * cfg.window_radius
     r = cfg.window_radius
     D = cfg.max_disparity
-    TY, TX = _tile_y(H), TILE_X
+    TX = _tile_x(W, D)
+    TY = _tile_y(H, TX)
     TXR = _ru128(TX + D - 1)
     ny = math.ceil(H / TY)
     nx = math.ceil(W / TX)
@@ -446,7 +480,7 @@ def wta_outputs_from_stacks(
     ltiles = _extract_tiles(lsp, ny, nx, TY, TX, PH, PWL)
     rtiles = _extract_tiles(rsp, ny, nx, TY, TX, PH, PWR)
 
-    kern = functools.partial(_kernel, cfg=cfg, nx=nx, ty=TY)
+    kern = functools.partial(_kernel, cfg=cfg, nx=nx, ty=TY, tx=TX)
     out_shapes = [
         jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # bestc
         jax.ShapeDtypeStruct((T, TY, TX), jnp.int32),     # bestd
@@ -526,7 +560,7 @@ def wta_outputs_from_stacks(
         "cp": assemble(cp, TX)[:H, :W],
     }
     own_c, own_d, strip_c, strip_d = _combine_right(
-        rbestc, rbestd, ny, nx, H, W, D
+        rbestc, rbestd, ny, nx, H, W, D, TX
     )
     out["rbestd"] = own_d
     if want_strip:
@@ -536,15 +570,15 @@ def wta_outputs_from_stacks(
     return out
 
 
-def _combine_right(rbestc, rbestd, ny, nx, H, W, D):
+def _combine_right(rbestc, rbestd, ny, nx, H, W, D, tx=TILE_X):
     """Merge per-tile right-view partials into the (H, W) right disparity
     ((T, TY, TXR) buffers from the x-lanes kernel)."""
     TY = rbestc.shape[1]
-    TXR = _ru128(TILE_X + D - 1)
+    TXR = _ru128(tx + D - 1)
     return _combine_right4(
         rbestc.reshape(ny, nx, TY, TXR),
         rbestd.reshape(ny, nx, TY, TXR),
-        H, W, D, TILE_X,
+        H, W, D, tx,
     )
 
 

@@ -17,6 +17,11 @@ replacements — measured here before porting into the kernel):
              bulk (K, TY, TXR) rotate per d (the bulk result spills to
              VMEM scratch and is re-read; per-plane rotates can stay in
              vregs straight into the FMA)
+  geom256  : TILE_X=256, TILE_Y=16 — rotate/slice overhead per output
+             scales with TXR/TX = (TX + D - 1)/TX: 2.0 at TX=128 vs 1.5
+             at TX=256 (vreg count per FMA op unchanged)
+  geom384  : TILE_X=384, TILE_Y=8 — ratio 1.33
+  dxrot_geom256 : both
 
 Slice-cost ablations (wrong results, quantify unaligned-slice overhead):
 
@@ -135,11 +140,24 @@ def make_accumulate(mode: str):
     return _accumulate
 
 
+GEOM = {  # variant suffix -> (TILE_X, TILE_Y)
+    "geom256": (256, 16),
+    "geom256y8": (256, 8),
+    "geom384": (384, 8),
+}
+
+
 def run(variant: str, left, right, cfg):
     orig = AK._accumulate
+    orig_tx, orig_ty = AK.TILE_X, AK.TILE_Y
     try:
-        if variant != "baseline":
-            AK._accumulate = make_accumulate(variant)
+        accum_mode = variant
+        for suffix, (tx, ty) in GEOM.items():
+            if variant.endswith(suffix):
+                AK.TILE_X, AK.TILE_Y = tx, ty
+                accum_mode = variant[: -len(suffix)].rstrip("_") or "baseline"
+        if accum_mode != "baseline":
+            AK._accumulate = make_accumulate(accum_mode)
 
         fn = jax.jit(lambda l, r: AK.wta_outputs(l, r, cfg))
         t0 = time.perf_counter()
@@ -155,6 +173,7 @@ def run(variant: str, left, right, cfg):
         return min(times), compile_s, np.asarray(out["bestd"])
     finally:
         AK._accumulate = orig
+        AK.TILE_X, AK.TILE_Y = orig_tx, orig_ty
 
 
 def main():
@@ -168,13 +187,21 @@ def main():
     pair = synthetic.make_pair(height=375, width=1242, max_disparity=128, seed=0)
     left = jnp.asarray(pair["left"])
     right = jnp.asarray(pair["right"])
-    base = None
+    # ABLATE_BASE_S skips re-measuring the (slow-compiling) baseline when its
+    # time is already known; agreement is then checked vs the first variant.
+    base = float(os.environ["ABLATE_BASE_S"]) if "ABLATE_BASE_S" in os.environ else None
     base_d = None
-    exact_modes = ("baseline", "dxrot")  # numerically identical variants
+    # numerically identical variants (restructures, not ablations)
+    exact_modes = (
+        "baseline", "dxrot", "geom256", "geom256y8", "geom384",
+        "dxrot_geom256",
+    )
     for v in variants:
         best, comp, bestd = run(v, left, right, cfg)
         if v == "baseline":
             base, base_d = best, bestd
+        if base_d is None and v in exact_modes:
+            base_d = bestd  # first exact variant anchors agreement checks
         agree = ""
         if base_d is not None and v in exact_modes and v != "baseline":
             agree = f"  argmin agree {100*np.mean(bestd == base_d):.4f}%"
