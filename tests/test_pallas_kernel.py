@@ -278,3 +278,17 @@ def test_pallas_dsharded_box_exact_and_jnp_box_guarded():
     # the jnp path only implements ASW slabs — box must be rejected loudly
     with pytest.raises(ValueError, match="disparity sharding"):
         dshard.match_pair_dsharded(l, r, cfg.replace(backend="jnp"), m)
+
+
+def test_tile_x_model_choices():
+    """The adaptive tile-width model (docs/PERF_NOTES.md ablation study)
+    must pick the measured-fastest TX for the dataset geometries: wide
+    images amortize the ru128(TX+D-1)/TX shuffle amplification (KITTI
+    measured -15.3% at TX=256), narrow ones avoid padding waste."""
+    assert asw_kernel._tile_x(1242, 128) == 256  # KITTI
+    assert asw_kernel._tile_x(450, 64) == 256    # Venus/Teddy/Cones
+    assert asw_kernel._tile_x(384, 16) == 128    # Tsukuba: 256 would pad 33%
+    # TY complements TX so each vector op still covers 4 full vregs
+    assert asw_kernel._tile_y(375, 256) == 16
+    assert asw_kernel._tile_y(375, 128) == 32
+    assert asw_kernel._tile_y(12, 256) == 8      # short images: f32 min tile

@@ -58,11 +58,11 @@ def make_accumulate(mode: str):
     TILE_X = AK.TILE_X
 
     def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc,
-                    den_sc, slrow_sc, srrow_sc, ty):
+                    den_sc, slrow_sc, srrow_sc, ty, tx=None):
         r = cfg.window_radius
         K = 2 * r + 1
         D = cfg.max_disparity
-        TY, TX = ty, TILE_X
+        TY, TX = ty, (tx if tx is not None else TILE_X)
         TXR = _ru128(TX + D - 1)
         sym = cfg.asw_symmetric
         inv_gc = np.float32(1.0 / cfg.gamma_color)
@@ -90,7 +90,10 @@ def make_accumulate(mode: str):
                     d2r = d2r + diffr * diffr
                 srrow_sc[dx] = jnp.exp(-jnp.sqrt(d2r) * inv_gc) * swr[dx]
 
-            U = 2 if D % 2 == 0 else 1
+            if mode.startswith("u") and mode[1:].isdigit():
+                U = int(mode[1:])
+            else:
+                U = 2 if D % 2 == 0 else 1
 
             dxrot = mode in ("dxrot", "dxrot_crow_al")
             crow_al = mode in ("crow_al", "dxrot_crow_al")
@@ -194,7 +197,7 @@ def main():
     # numerically identical variants (restructures, not ablations)
     exact_modes = (
         "baseline", "dxrot", "geom256", "geom256y8", "geom384",
-        "dxrot_geom256",
+        "dxrot_geom256", "u4", "u8",
     )
     for v in variants:
         best, comp, bestd = run(v, left, right, cfg)
