@@ -99,7 +99,9 @@ def routed(cfg: StereoConfig) -> bool:
             if not supports(cfg):
                 raise ValueError(
                     "kernel_layout='dlanes' on symmetric ASW requires "
-                    "max_disparity in [2, 128] and window_size <= 65"
+                    "max_disparity in [2, 128] and window_size <= 63 "
+                    "(window_size + 63 must stay under the 128-lane "
+                    "strided-roll bound)"
                 )
             return True
         return False  # left-only / box belong to asw_dlanes

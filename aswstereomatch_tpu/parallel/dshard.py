@@ -42,6 +42,14 @@ def match_pair_dsharded(
 
     Images are replicated (they are ~100x smaller than the volume); only
     per-shard winner planes cross the ICI in the combine step.
+
+    Kernel layout: d-sharding requires the x-lanes kernel's [lo, hi)
+    disparity window, so left-only ASW runs x-lanes here even though the
+    unsharded `kernel_layout="auto"` resolves it to the d-lanes fast path.
+    Output is bit-exact vs the unsharded pipeline at
+    `kernel_layout="xlanes"` (pinned by tests); vs the unsharded d-lanes
+    default it agrees to f32-reduction-order (argmin-level).  An explicit
+    `kernel_layout="dlanes"` is rejected rather than silently overridden.
     """
     axis = mesh_lib.TILE_AXIS
     n = device_mesh.shape[axis]
@@ -59,6 +67,12 @@ def match_pair_dsharded(
     ):
         raise ValueError(
             "disparity sharding covers asw (both backends) and box (pallas)"
+        )
+    if use_pallas and cfg.kernel_layout == "dlanes":
+        raise ValueError(
+            "kernel_layout='dlanes' is a single-shard fast path; "
+            "disparity-sharded runs use the x-lanes kernel (its [lo, hi) "
+            "disparity window) — use kernel_layout 'auto' or 'xlanes'"
         )
     if use_pallas:
         from ..ops import preprocess

@@ -248,6 +248,14 @@ def match_pair_tiled_x(
     the small per-view winner planes are then all-gathered so the x-global
     post-processing stages (LR gather along x, row fill, median) run
     replicated — bit-identical to the untiled pipeline.
+
+    Kernel layout: x-tiling needs the x-lanes kernel's right-view strip
+    export, so left-only ASW runs x-lanes here even though the unsharded
+    `kernel_layout="auto"` resolves it to the d-lanes fast path.  Output
+    is bit-exact vs the unsharded pipeline at `kernel_layout="xlanes"`
+    (pinned by tests); vs the unsharded d-lanes default it agrees to
+    f32-reduction-order (argmin-level).  An explicit
+    `kernel_layout="dlanes"` is rejected rather than silently overridden.
     """
     from ..ops import aggregate, postprocess, preprocess
     from ..ops import wta as wta_ops
@@ -282,6 +290,13 @@ def match_pair_tiled_x(
     use_pallas = _resolve_backend(cfg, (h, ws)) == "pallas"
     if use_pallas:
         from ..ops.pallas import asw_kernel
+
+        if cfg.kernel_layout == "dlanes":
+            raise ValueError(
+                "kernel_layout='dlanes' is a single-shard fast path; "
+                "x-tiled runs use the x-lanes kernel (its right-view strip "
+                "export) — use kernel_layout 'auto' or 'xlanes'"
+            )
 
     @functools.partial(
         shard_map,

@@ -53,7 +53,10 @@ def _compute_source_hash() -> str:
         for f in sorted(files):
             if f.endswith(".py"):
                 p = os.path.join(root, f)
-                h.update(p.encode())
+                # Key on the package-relative path: committed cache
+                # artifacts must survive checkout relocation (content-only
+                # invalidation), or every clone pays the cold compile.
+                h.update(os.path.relpath(p, _PKG_DIR).encode())
                 with open(p, "rb") as fh:
                     h.update(fh.read())
     return h.hexdigest()[:16]

@@ -97,7 +97,15 @@ def srgb_decode(rgb255, xp):
     lut = xp.asarray(SRGB_DECODE_LUT)
     if xp is np:
         return lut[idx]
+    import jax
     import jax.lax as lax
+
+    if jax.default_backend() != "tpu":
+        # Off-TPU the gather is cheap and the one-hot would materialize a
+        # (H*W*3, 256) f32 operand (~1.4 GB at KITTI scale on XLA-CPU).
+        # Both forms are bit-exact (single 1.0 per one-hot row), so the
+        # per-backend choice cannot change results.
+        return lut[idx]
 
     onehot = (idx[..., None] == xp.arange(256, dtype=xp.int32)).astype(
         xp.float32

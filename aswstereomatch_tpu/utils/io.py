@@ -116,6 +116,11 @@ def write_pfm(path: str, img: np.ndarray) -> None:
 
 def read_image(path: str) -> np.ndarray:
     """Read an image as float32 RGB (H,W,3) or gray (H,W) in [0,255]."""
+    if not os.path.exists(path):
+        # Checked up front: the native decoder reports I/O failure as
+        # IOError, which the fallback chain would otherwise misreport as
+        # "codec missing" when cv2 is absent.
+        raise FileNotFoundError(path)
     ext = os.path.splitext(path)[1].lower()
     if ext in (".pgm", ".ppm", ".pnm"):
         return read_pnm(path)

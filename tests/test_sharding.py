@@ -259,3 +259,48 @@ def test_xtiled_box_exact(pair96):
         J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m)(left, right)
     )
     np.testing.assert_array_equal(out, ref)
+
+
+def test_left_only_sharded_layouts_match_xlanes_exactly(pair96):
+    """Left-only ASW auto-resolves to the d-lanes kernel unsharded, but the
+    d-sharded and x-tiled paths need x-lanes features (disparity window,
+    strip export).  Pinned contract: those sharded outputs are bit-exact vs
+    the unsharded pipeline at kernel_layout='xlanes'; y-tiling routes
+    through the same auto resolution, so it stays bit-exact vs the auto
+    (d-lanes) default; an explicit 'dlanes' on the x-lanes-only paths is
+    rejected rather than silently overridden."""
+    from aswstereomatch_tpu.parallel import dshard
+
+    cfg = CFG_FULL.replace(asw_symmetric=False, backend="pallas")
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+
+    ref_auto = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    ref_xlanes = np.asarray(
+        J(pipeline.match_pair, cfg=cfg.replace(kernel_layout="xlanes"))(
+            left, right
+        )
+    )
+
+    m4 = mesh_lib.build_mesh(data=1, tile=4)
+    out_y = np.asarray(
+        J(tiling.match_pair_tiled, cfg=cfg, device_mesh=m4)(left, right)
+    )
+    np.testing.assert_array_equal(out_y, ref_auto)
+
+    out_d = np.asarray(
+        J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m4)(left, right)
+    )
+    np.testing.assert_array_equal(out_d, ref_xlanes)
+
+    m2 = mesh_lib.build_mesh(data=1, tile=2)  # 64 cols / 2 fits the D halo
+    out_x = np.asarray(
+        J(tiling.match_pair_tiled_x, cfg=cfg, device_mesh=m2)(left, right)
+    )
+    np.testing.assert_array_equal(out_x, ref_xlanes)
+
+    bad = cfg.replace(kernel_layout="dlanes")
+    with pytest.raises(ValueError, match="single-shard fast path"):
+        dshard.match_pair_dsharded(left, right, bad, m4)
+    with pytest.raises(ValueError, match="single-shard fast path"):
+        tiling.match_pair_tiled_x(left, right, bad, m2)

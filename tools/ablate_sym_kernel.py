@@ -152,12 +152,16 @@ GEOM = {  # variant suffix -> (TILE_X, TILE_Y)
 
 def run(variant: str, left, right, cfg):
     orig = AK._accumulate
-    orig_tx, orig_ty = AK.TILE_X, AK.TILE_Y
+    orig_tx, orig_ty = AK._tile_x, AK._tile_y
     try:
         accum_mode = variant
         for suffix, (tx, ty) in GEOM.items():
             if variant.endswith(suffix):
-                AK.TILE_X, AK.TILE_Y = tx, ty
+                # Pin the geometry by overriding the adaptive chooser
+                # functions (the kernel no longer reads TILE_X/TILE_Y
+                # globals on its hot path).
+                AK._tile_x = lambda w, d, _tx=tx: _tx
+                AK._tile_y = lambda h, t=None, _ty=ty: _ty
                 accum_mode = variant[: -len(suffix)].rstrip("_") or "baseline"
         if accum_mode != "baseline":
             AK._accumulate = make_accumulate(accum_mode)
@@ -176,7 +180,7 @@ def run(variant: str, left, right, cfg):
         return min(times), compile_s, np.asarray(out["bestd"])
     finally:
         AK._accumulate = orig
-        AK.TILE_X, AK.TILE_Y = orig_tx, orig_ty
+        AK._tile_x, AK._tile_y = orig_tx, orig_ty
 
 
 def main():

@@ -61,6 +61,17 @@ def main():
             out = fn(l, r)
             float(out[0, 0])
             times.append(time.perf_counter() - t0)
+        # Queued throughput: submit Q dispatches back-to-back, sync once.
+        # Per-call latency above includes the axon tunnel's ~25-50 ms
+        # dispatch round trip, which dominates sub-100 ms configs; a real
+        # sweep/serving pipeline keeps the device queue full, which this
+        # measures.  (Device execution is serial per stream, so fetching
+        # the last output forces completion of all Q.)
+        Q = 8
+        t0 = time.perf_counter()
+        outs = [fn(l, r) for _ in range(Q)]
+        float(outs[-1][0, 0])
+        queued_s = (time.perf_counter() - t0) / Q
         disp = np.asarray(out)
         rep = evaluate.bad_report(disp, pair["gt"], valid=~pair["occluded"])
         rows.append(
@@ -70,22 +81,25 @@ def main():
                 note=note,
                 config_hash=cfg.config_hash(),
                 pairs_per_s=round(1.0 / min(times), 4),
+                pairs_per_s_queued=round(1.0 / queued_s, 4),
                 compile_s=round(compile_s, 1),
                 **{k: round(v, 5) for k, v in rep.items()},
             )
         )
-        print(f"{preset}: {rows[-1]['pairs_per_s']} pairs/s, "
+        print(f"{preset}: {rows[-1]['pairs_per_s']} pairs/s "
+              f"({rows[-1]['pairs_per_s_queued']} queued), "
               f"bad2={rows[-1]['bad_2']}", flush=True)
 
     os.makedirs("bench_results", exist_ok=True)
     with open("bench_results/baseline_configs.json", "w") as f:
         json.dump(rows, f, indent=2)
 
-    print("\n| preset | geometry | pairs/s/chip | bad-0.5 | bad-2.0 | EPE |")
-    print("|---|---|---|---|---|---|")
+    print("\n| preset | geometry | pairs/s/chip | queued | bad-0.5 | bad-2.0 | EPE |")
+    print("|---|---|---|---|---|---|---|")
     for r_ in rows:
         print(
             f"| {r_['preset']} | {r_['geometry']} | {r_['pairs_per_s']} | "
+            f"{r_['pairs_per_s_queued']} | "
             f"{r_['bad_0.5']:.4f} | {r_['bad_2']:.4f} | {r_['epe']:.3f} |"
         )
 

@@ -50,6 +50,14 @@ def main():
                 out = fn(l, r)
                 float(out[0, 0])
                 times.append(time.perf_counter() - t0)
+            # Queued throughput (see tools/run_baseline_configs.py): the
+            # axon per-dispatch round trip dominates sub-100 ms configs;
+            # a full device queue measures sustained pairs/s.
+            Q = 8
+            t0 = time.perf_counter()
+            outs = [fn(l, r) for _ in range(Q)]
+            float(outs[-1][0, 0])
+            queued_s = (time.perf_counter() - t0) / Q
             disp = np.asarray(out)
             rep = evaluate.bad_report(
                 disp, pair["gt"], valid=~pair["occluded"]
@@ -58,6 +66,7 @@ def main():
                 "geometry": geom,
                 "symmetric": sym,
                 "pairs_per_s": round(1.0 / min(times), 4),
+                "pairs_per_s_queued": round(1.0 / queued_s, 4),
                 **{k: round(float(v), 5) for k, v in rep.items()},
             }
             rows.append(row)
