@@ -122,13 +122,14 @@ def routed(cfg: StereoConfig) -> bool:
         return True
     if cfg.kernel_layout != "auto":
         return False
-    # auto covers the left-only ASW fast path.  Box stays on the dedicated
-    # running-sum kernel by default — the big-dot form is ~2x faster (24.1
-    # vs 12.7 pairs/s at KITTI geometry, opt-in via kernel_layout="dlanes")
-    # but parallel/dshard.py drives the windowed kernel per d-slab, and
-    # flipping only the unsharded default would break the pinned
-    # dsharded == unsharded bit-exactness invariant.
-    return cfg.aggregation == "asw" and supports(cfg)
+    # auto covers the left-only ASW fast path AND box (the big-dot form is
+    # ~2x the dedicated running-sum kernel: 24.1 vs 12.7 pairs/s at KITTI).
+    # The d-sharded / x-tiled paths still need the x-lanes kernel (its
+    # disparity window / strip export) and pin their own layout — sharded
+    # output is bit-exact vs unsharded at kernel_layout="xlanes", and
+    # argmin-level vs this default (the documented layout-resolution
+    # contract; see PARITY.md and test_sharding.py).
+    return cfg.aggregation in ("asw", "box") and supports(cfg)
 
 
 def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:

@@ -121,11 +121,14 @@ def test_dlanes_routing_rules():
     assert not asw_dlanes.routed(CFG.replace(asw_symmetric=True))
     # forcing xlanes wins
     assert not asw_dlanes.routed(CFG.replace(kernel_layout="xlanes"))
-    # box is opt-in only (auto keeps the dsharded==unsharded invariant on
-    # the dedicated kernel); forcing dlanes routes it here
-    assert not asw_dlanes.routed(CFG.replace(aggregation="box"))
+    # box defaults to the big-dot kernel too (2x the running-sum kernel);
+    # sharded paths pin x-lanes per the layout-resolution contract
+    assert asw_dlanes.routed(CFG.replace(aggregation="box"))
     assert asw_dlanes.routed(
         CFG.replace(aggregation="box", kernel_layout="dlanes")
+    )
+    assert not asw_dlanes.routed(
+        CFG.replace(aggregation="box", kernel_layout="xlanes")
     )
     # symmetric + forced dlanes belongs to the symmetric module
     assert not asw_dlanes.routed(

@@ -270,7 +270,12 @@ def test_pallas_dsharded_box_exact_and_jnp_box_guarded():
         max_disparity=16, aggregation="box", backend="pallas",
         lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
     )
-    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    # Layout-resolution contract: unsharded auto routes box to the d-lanes
+    # big-dot kernel; the d-sharded path drives the x-lanes kernel per
+    # slab, so the pinned bit-exact reference is kernel_layout="xlanes".
+    ref = np.asarray(
+        J(pipeline.match_pair, cfg=cfg.replace(kernel_layout="xlanes"))(l, r)
+    )
     out = np.asarray(
         J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(l, r)
     )
