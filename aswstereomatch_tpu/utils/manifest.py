@@ -66,18 +66,29 @@ def run_sweep(
     config_hash: str,
     batch_size: int = 1,
     flush_every: int = 1,
+    pass_next: bool = False,
 ):
     """Run process_fn(pair_id) -> dict over all pairs with resume.
 
     Returns the full results dict.  ``process_fn`` failures propagate after
     the manifest is flushed, so completed work is never lost.
+
+    With ``pass_next`` the callback is invoked as
+    ``process_fn(pid, next_pid=<successor or None>)`` so it can enqueue the
+    next pair's device work before blocking on the current one (software
+    pipelining — overlaps host IO and dispatch latency with compute).
     """
     m = SweepManifest(manifest_path, config_hash)
     todo = m.pending(pair_ids)
     since_flush = 0
     try:
-        for pid in todo:
-            m.record(pid, process_fn(pid))
+        for i, pid in enumerate(todo):
+            if pass_next:
+                nxt = todo[i + 1] if i + 1 < len(todo) else None
+                rec = process_fn(pid, next_pid=nxt)
+            else:
+                rec = process_fn(pid)
+            m.record(pid, rec)
             since_flush += 1
             if since_flush >= flush_every:
                 m.flush()

@@ -43,6 +43,12 @@ def build_parser():
     cfg.add_argument("--window-radius", type=int)
     cfg.add_argument("--backend", choices=["auto", "jnp", "pallas"])
     cfg.add_argument("--y-chunks", type=int)
+    cfg.add_argument("--left-only-weights", action="store_true",
+                     help="left-only ASW weights (the documented speed "
+                          "mode: ~5x at KITTI via the d-lanes MXU kernel; "
+                          "bad-2.0 stays within the 1%% budget)")
+    cfg.add_argument("--kernel-layout", choices=["auto", "xlanes", "dlanes"],
+                     help="Pallas data layout (auto picks per config)")
     cfg.add_argument("--no-postprocess", action="store_true",
                      help="disable LR check / fill / subpixel / median")
     run = ap.add_argument_group("execution")
@@ -97,10 +103,13 @@ def main(argv=None):
         ("max_disparity", "max_disparity"), ("cost", "cost"),
         ("aggregation", "aggregation"), ("window_radius", "window_radius"),
         ("backend", "backend"), ("y_chunks", "y_chunks"),
+        ("kernel_layout", "kernel_layout"),
     ]:
         v = getattr(args, name)
         if v is not None:
             overrides[field] = v
+    if args.left_only_weights:
+        overrides["asw_symmetric"] = False
     if args.no_postprocess:
         overrides.update(
             lr_check=False, fill_holes=False, subpixel=False, median_filter=False
