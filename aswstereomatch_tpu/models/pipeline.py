@@ -231,7 +231,23 @@ def match_pair(
 
 
 def match_batch(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """Batched throughput mode: (B, H, W, 3) x2 -> (B, H, W)."""
+    """Batched throughput mode: (B, H, W, 3) x2 -> (B, H, W).
+
+    Routes vmap for the x-lanes/jnp paths, but `lax.map` (sequential pairs
+    inside one jit) when the config resolves to a d-lanes kernel: Mosaic
+    cannot batch-block their ANY-memory-space HBM cost volume (hardware-
+    only lowering error; interpret mode accepts it), and a single pair
+    already saturates the chip on those kernels, so the serial form loses
+    no throughput (measured: symmetric B=4 vmap 2.05 pairs/s aggregate vs
+    2.08 queued single-pair).
+    """
+    if _resolve_backend(cfg, left.shape[1:]) == "pallas":
+        from ..ops.pallas import asw_dlanes, asw_sym_dlanes
+
+        if asw_dlanes.routed(cfg) or asw_sym_dlanes.routed(cfg):
+            return lax.map(
+                lambda lr: match_pair(lr[0], lr[1], cfg), (left, right)
+            )
     return jax.vmap(lambda l, r: match_pair(l, r, cfg))(left, right)
 
 

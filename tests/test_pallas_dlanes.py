@@ -180,10 +180,11 @@ SCFG = CFG.replace(asw_symmetric=True)
         (SCFG, (24, 40)),
         # multiple tiles in both axes + non-divisible H and W
         (SCFG, (21, 150)),
-        # D > TXS exercises the multi-neighbor right-partial combine
         (SCFG.replace(max_disparity=16, window_radius=3), (20, 100)),
+        # D - 1 > TXS=64: multi-neighbor right-partial combine (KITTI regime)
+        (SCFG.replace(max_disparity=128), (16, 192)),
     ],
-    ids=["base", "multitile_odd", "d16_r3"],
+    ids=["base", "multitile_odd", "d16_r3", "d128_multinb"],
 )
 def test_sym_dlanes_outputs_match_jnp_volume(cfg, shape):
     """Symmetric d-lanes kernel vs the jnp symmetric aggregated volume:
@@ -223,3 +224,28 @@ def test_sym_dlanes_pipeline_end_to_end_matches_jnp():
     agree = np.mean(np.abs(d_pal - d_jnp) <= 0.51)
     assert agree > 0.99, f"disagreement {1 - agree:.4%}"
     assert np.mean(np.abs(d_pal - d_jnp) > 2.0) < 0.005
+
+
+def test_dlanes_batch_matches_single():
+    """match_batch routes lax.map (not vmap) for d-lanes configs: Mosaic
+    cannot batch-block the kernel's ANY-memspace HBM cost volume (a
+    hardware-only lowering error this test cannot see in interpret mode —
+    tools/tpu_smoke.py covers the real chip); the sequential form must
+    still reproduce single-pair results exactly."""
+    pair = synthetic.make_pair(height=24, width=48, max_disparity=8, seed=5)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    for cfg in (
+        CFG.replace(backend="pallas", lr_check=True, fill_holes=True,
+                    subpixel=True, median_filter=True),
+        CFG.replace(backend="pallas", aggregation="box"),
+        CFG.replace(backend="pallas", asw_symmetric=True,
+                    kernel_layout="dlanes"),
+    ):
+        single = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+        batch = np.asarray(
+            J(pipeline.match_batch, cfg=cfg)(
+                jnp.stack([l, l]), jnp.stack([r, r])
+            )
+        )
+        np.testing.assert_array_equal(batch[0], single)
+        np.testing.assert_array_equal(batch[1], single)

@@ -111,17 +111,25 @@ def run_matrix(quick: bool = False) -> int:
     if not exact:
         failures.append("x_strip")
 
-    # batch=2 vmapped kernel.
+    # batch=2 through the real batch API, both kernel families: symmetric
+    # (x-lanes, vmapped) and left-only (d-lanes, lax.map — Mosaic cannot
+    # batch-block its ANY-memspace cost volume, a hardware-only error that
+    # interpret-mode tests cannot see; this is the gate for it).
     lb = jnp.stack([l, l])
     rb = jnp.stack([r, r])
-    db = jax.jit(
-        jax.vmap(functools.partial(pipeline.match_pair, cfg=cfg))
-    )(lb, rb)
-    _sync(db)
-    bok = np.array_equal(np.asarray(db[0]), np.asarray(db[1]))
-    print(f"  [{'PASS' if bok else 'FAIL'}] batch=2 vmap consistent={bok}", flush=True)
-    if not bok:
-        failures.append("batch_vmap")
+    for blabel, bcfg in (
+        ("xlanes", cfg),
+        ("dlanes", cfg.replace(asw_symmetric=False)),
+    ):
+        db = jax.jit(functools.partial(pipeline.match_batch, cfg=bcfg))(lb, rb)
+        _sync(db)
+        bok = np.array_equal(np.asarray(db[0]), np.asarray(db[1]))
+        print(
+            f"  [{'PASS' if bok else 'FAIL'}] batch=2 ({blabel}) "
+            f"consistent={bok}", flush=True,
+        )
+        if not bok:
+            failures.append(f"batch_{blabel}")
 
     if failures:
         print(f"SMOKE FAIL: {failures}")
