@@ -50,8 +50,14 @@ def main():
         pair = synthetic.make_dataset_pair(geom, seed=3)
         l = jnp.asarray(pair["left"])
         r = jnp.asarray(pair["right"])
-        fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+        from aswstereomatch_tpu.utils import aotcache
+
         t0 = time.perf_counter()
+        fn, _src = aotcache.compile_cached(
+            functools.partial(pipeline.match_pair, cfg=cfg),
+            (l, r),
+            key_parts=("match_pair", cfg.config_hash()),
+        )
         out = fn(l, r)
         float(out[0, 0])
         compile_s = time.perf_counter() - t0

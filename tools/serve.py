@@ -94,8 +94,15 @@ class _Handler(socketserver.BaseRequestHandler):
                 cfg = StereoConfig(**header.get("config", {}))
                 key = (cfg.config_hash(), shape)
                 if key not in cache:
-                    cache[key] = jax.jit(
-                        functools.partial(pipeline.match_pair, cfg=cfg)
+                    # AOT executable cache: a known (config, shape) warm
+                    # start costs ~0.5 s instead of the 1-4 min Mosaic
+                    # compile — first-request latency, production-style.
+                    from aswstereomatch_tpu.utils import aotcache
+
+                    cache[key], _ = aotcache.compile_cached(
+                        functools.partial(pipeline.match_pair, cfg=cfg),
+                        (jnp.asarray(left), jnp.asarray(right)),
+                        key_parts=("match_pair", cfg.config_hash()),
                     )
                 t0 = time.perf_counter()
                 disp = cache[key](jnp.asarray(left), jnp.asarray(right))

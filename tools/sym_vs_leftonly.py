@@ -41,7 +41,13 @@ def main():
                 fill_holes=True, subpixel=True, median_filter=True,
                 asw_symmetric=sym,
             )
-            fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+            from aswstereomatch_tpu.utils import aotcache
+
+            fn, _src = aotcache.compile_cached(
+                functools.partial(pipeline.match_pair, cfg=cfg),
+                (l, r),
+                key_parts=("match_pair", cfg.config_hash()),
+            )
             out = fn(l, r)
             float(out[0, 0])  # axon: scalar fetch = real sync
             times = []
