@@ -122,14 +122,21 @@ def routed(cfg: StereoConfig) -> bool:
         return True
     if cfg.kernel_layout != "auto":
         return False
-    # auto covers the left-only ASW fast path AND box (the big-dot form is
-    # ~2x the dedicated running-sum kernel: 24.1 vs 12.7 pairs/s at KITTI).
+    # auto covers the left-only ASW fast path at any supported D, and box
+    # only when the d-lane vreg is well utilized: this kernel always pays
+    # full 128-lane vregs, so its big dot beats the running-sum x-lanes
+    # kernel at D=128 (KITTI: 21.9 vs 12.7 pairs/s) but LOSES at D=64
+    # (venus: 50.7 vs 76.1) where running-sum work scales with D — measured
+    # crossover pinned at D > 64.  (ASW economics differ: the MXU amortizes
+    # the K^2 bilateral-weight VPU work, so left-only wins at D=64 too.)
     # The d-sharded / x-tiled paths still need the x-lanes kernel (its
     # disparity window / strip export) and pin their own layout — sharded
     # output is bit-exact vs unsharded at kernel_layout="xlanes", and
     # argmin-level vs this default (the documented layout-resolution
     # contract; see PARITY.md and test_sharding.py).
-    return cfg.aggregation in ("asw", "box") and supports(cfg)
+    if cfg.aggregation == "box":
+        return cfg.max_disparity > 64 and supports(cfg)
+    return cfg.aggregation == "asw" and supports(cfg)
 
 
 def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:

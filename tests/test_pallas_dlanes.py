@@ -121,14 +121,22 @@ def test_dlanes_routing_rules():
     assert not asw_dlanes.routed(CFG.replace(asw_symmetric=True))
     # forcing xlanes wins
     assert not asw_dlanes.routed(CFG.replace(kernel_layout="xlanes"))
-    # box defaults to the big-dot kernel too (2x the running-sum kernel);
-    # sharded paths pin x-lanes per the layout-resolution contract
-    assert asw_dlanes.routed(CFG.replace(aggregation="box"))
+    # box auto-routes here only when the d-lane vreg is well utilized
+    # (measured crossover D > 64: KITTI 128 wins 1.7x, venus 64 loses
+    # 0.67x); explicit dlanes always forces it, xlanes forces it away
+    assert asw_dlanes.routed(
+        CFG.replace(aggregation="box", max_disparity=128)
+    )
+    assert not asw_dlanes.routed(
+        CFG.replace(aggregation="box", max_disparity=64)
+    )
+    assert not asw_dlanes.routed(CFG.replace(aggregation="box"))  # D=8
     assert asw_dlanes.routed(
         CFG.replace(aggregation="box", kernel_layout="dlanes")
     )
     assert not asw_dlanes.routed(
-        CFG.replace(aggregation="box", kernel_layout="xlanes")
+        CFG.replace(aggregation="box", max_disparity=128,
+                    kernel_layout="xlanes")
     )
     # symmetric + forced dlanes belongs to the symmetric module
     assert not asw_dlanes.routed(
@@ -237,7 +245,8 @@ def test_dlanes_batch_matches_single():
     for cfg in (
         CFG.replace(backend="pallas", lr_check=True, fill_holes=True,
                     subpixel=True, median_filter=True),
-        CFG.replace(backend="pallas", aggregation="box"),
+        CFG.replace(backend="pallas", aggregation="box",
+                    kernel_layout="dlanes"),
         CFG.replace(backend="pallas", asw_symmetric=True,
                     kernel_layout="dlanes"),
     ):
