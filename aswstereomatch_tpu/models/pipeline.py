@@ -230,24 +230,33 @@ def match_pair(
     return _postprocess_from_volume(vol, cfg, left)
 
 
+def dlanes_routed(cfg: StereoConfig, pair_shape) -> bool:
+    """True when this config resolves to a d-lanes Pallas kernel.
+
+    Callers batching pairs must use ``lax.map`` instead of ``jax.vmap``
+    then: Mosaic cannot batch-block those kernels' ANY-memory-space HBM
+    cost volume (a hardware-only lowering error; interpret mode accepts
+    it).  A single pair already saturates the chip on these kernels, so
+    the sequential form loses no throughput (measured B=4 at KITTI:
+    symmetric vmap 2.05 pairs/s aggregate vs 2.08 queued single-pair;
+    left-only lax.map 11.0 vs 11.5)."""
+    if _resolve_backend(cfg, pair_shape) != "pallas":
+        return False
+    from ..ops.pallas import asw_dlanes, asw_sym_dlanes
+
+    return asw_dlanes.routed(cfg) or asw_sym_dlanes.routed(cfg)
+
+
 def match_batch(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     """Batched throughput mode: (B, H, W, 3) x2 -> (B, H, W).
 
-    Routes vmap for the x-lanes/jnp paths, but `lax.map` (sequential pairs
-    inside one jit) when the config resolves to a d-lanes kernel: Mosaic
-    cannot batch-block their ANY-memory-space HBM cost volume (hardware-
-    only lowering error; interpret mode accepts it), and a single pair
-    already saturates the chip on those kernels, so the serial form loses
-    no throughput (measured: symmetric B=4 vmap 2.05 pairs/s aggregate vs
-    2.08 queued single-pair).
+    vmap for the x-lanes/jnp paths; `lax.map` (sequential pairs inside one
+    jit) when the config resolves to a d-lanes kernel — see dlanes_routed.
     """
-    if _resolve_backend(cfg, left.shape[1:]) == "pallas":
-        from ..ops.pallas import asw_dlanes, asw_sym_dlanes
-
-        if asw_dlanes.routed(cfg) or asw_sym_dlanes.routed(cfg):
-            return lax.map(
-                lambda lr: match_pair(lr[0], lr[1], cfg), (left, right)
-            )
+    if dlanes_routed(cfg, left.shape[1:]):
+        return lax.map(
+            lambda lr: match_pair(lr[0], lr[1], cfg), (left, right)
+        )
     return jax.vmap(lambda l, r: match_pair(l, r, cfg))(left, right)
 
 

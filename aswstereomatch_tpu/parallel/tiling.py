@@ -180,6 +180,10 @@ def match_batch_sharded(
         l_ext = jnp.moveaxis(l_ext, 0, 1)
         r_ext = jnp.moveaxis(r_ext, 0, 1)
         fn = lambda l, r: _match_tile(l, r, cfg, halo, rows, h, axis)
+        # Mosaic cannot vmap the d-lanes kernels (ANY-memspace cost
+        # volume; see pipeline.dlanes_routed) — batch those sequentially.
+        if pipeline.dlanes_routed(cfg, l_ext.shape[1:]):
+            return lax.map(lambda lr: fn(lr[0], lr[1]), (l_ext, r_ext))
         return jax.vmap(fn)(l_ext, r_ext)
 
     out = run(lefts, rights)

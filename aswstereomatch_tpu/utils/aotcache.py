@@ -76,6 +76,10 @@ def _env_fingerprint() -> dict:
     return {
         "jax": jax.__version__,
         "device_kind": dev.device_kind,
+        # Serialized executables bind the device topology: one saved under
+        # N devices demands N-sharded args when reloaded (seen as
+        # "expected 8 shards, got [1, 1]" on the virtual-mesh test env).
+        "device_count": jax.device_count(),
         "platform": dev.platform,
         "source": _source_hash(),
     }
@@ -139,14 +143,40 @@ def save(key: str, compiled) -> bool:
     return True
 
 
+def cached_match_pair(cfg, left, right):
+    """The standard pipeline entry, AOT-cached: returns (callable, source).
+
+    One canonical key scheme for every tool (bench, serve, sweeps) — a
+    drifted key_parts in one call site would silently fork the on-disk
+    cache namespace."""
+    import functools
+
+    from ..models import pipeline
+
+    return compile_cached(
+        functools.partial(pipeline.match_pair, cfg=cfg),
+        (left, right),
+        key_parts=("match_pair", cfg.config_hash()),
+    )
+
+
 def compile_cached(fn, args, key_parts, *, static_key: str | None = None):
     """AOT-compile ``fn(*args)`` with disk caching.
 
-    Returns ``(callable, source)`` where source is "aot-cache" | "compile".
-    The callable has the same signature as ``fn``.  On cache miss, compiles
-    via ``jax.jit(fn).lower(*args).compile()``, saves, and returns the
-    compiled executable directly (no double compile).
+    Returns ``(callable, source)`` where source is
+    "aot-cache" | "compile" | "jit".  The callable has the same signature
+    as ``fn``.  On cache miss, compiles via
+    ``jax.jit(fn).lower(*args).compile()``, saves, and returns the compiled
+    executable directly (no double compile).
+
+    Off-TPU the disk cache is bypassed entirely (plain ``jax.jit``): the
+    cache exists for the multi-minute Mosaic compile; CPU compiles are
+    fast, CPU runs are the multi-device virtual-mesh test environment
+    (where a deserialized executable binds the wrong topology), and plain
+    jit additionally tolerates shape retraces.
     """
+    if jax.default_backend() != "tpu":
+        return jax.jit(fn), "jit"
     key = static_key or cache_key(
         *key_parts, *[(tuple(a.shape), str(a.dtype)) for a in args]
     )

@@ -150,11 +150,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
     from aswstereomatch_tpu.utils import aotcache
 
     t0 = time.perf_counter()
-    fn, compile_source = aotcache.compile_cached(
-        functools.partial(pipeline.match_pair, cfg=cfg),
-        (left, right),
-        key_parts=("match_pair", cfg.config_hash()),
-    )
+    fn, compile_source = aotcache.cached_match_pair(cfg, left, right)
     compile_s = time.perf_counter() - t0
 
     def run_blocking(l, r):

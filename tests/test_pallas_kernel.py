@@ -270,9 +270,10 @@ def test_pallas_dsharded_box_exact_and_jnp_box_guarded():
         max_disparity=16, aggregation="box", backend="pallas",
         lr_check=True, fill_holes=True, subpixel=True, median_filter=True,
     )
-    # Layout-resolution contract: unsharded auto routes box to the d-lanes
-    # big-dot kernel; the d-sharded path drives the x-lanes kernel per
-    # slab, so the pinned bit-exact reference is kernel_layout="xlanes".
+    # At D=16 auto already resolves box to x-lanes (the d-lanes crossover
+    # is D > 64), so dsharded == unsharded-auto holds directly here; the
+    # xlanes pin documents the layout-resolution contract and is exercised
+    # for real by the D=128 case below.
     ref = np.asarray(
         J(pipeline.match_pair, cfg=cfg.replace(kernel_layout="xlanes"))(l, r)
     )
@@ -280,6 +281,26 @@ def test_pallas_dsharded_box_exact_and_jnp_box_guarded():
         J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(l, r)
     )
     np.testing.assert_array_equal(out, ref)
+    # D=128: unsharded auto routes box to the d-lanes big-dot kernel while
+    # the d-sharded path drives the x-lanes kernel per slab — the pinned
+    # bit-exact reference is therefore kernel_layout="xlanes" (the
+    # layout-resolution contract, PARITY.md).
+    pair128 = synthetic.make_pair(height=16, width=160, max_disparity=128,
+                                  seed=6)
+    l1, r1 = jnp.asarray(pair128["left"]), jnp.asarray(pair128["right"])
+    cfg128 = cfg.replace(max_disparity=128, window_radius=2)
+    from aswstereomatch_tpu.ops.pallas import asw_dlanes
+
+    assert asw_dlanes.routed(cfg128)  # auto really is d-lanes unsharded
+    ref128 = np.asarray(
+        J(pipeline.match_pair, cfg=cfg128.replace(kernel_layout="xlanes"))(
+            l1, r1
+        )
+    )
+    out128 = np.asarray(
+        J(dshard.match_pair_dsharded, cfg=cfg128, device_mesh=m)(l1, r1)
+    )
+    np.testing.assert_array_equal(out128, ref128)
     # the jnp path only implements ASW slabs — box must be rejected loudly
     with pytest.raises(ValueError, match="disparity sharding"):
         dshard.match_pair_dsharded(l, r, cfg.replace(backend="jnp"), m)

@@ -304,3 +304,18 @@ def test_left_only_sharded_layouts_match_xlanes_exactly(pair96):
         dshard.match_pair_dsharded(left, right, bad, m4)
     with pytest.raises(ValueError, match="single-shard fast path"):
         tiling.match_pair_tiled_x(left, right, bad, m2)
+
+    # Batched DP x SP: the per-shard batch must route lax.map (Mosaic
+    # cannot vmap the d-lanes kernels — hardware-only lowering error) and
+    # still match the unsharded auto (d-lanes) pipeline exactly.
+    m22 = mesh_lib.build_mesh(data=2, tile=2)
+    lefts = jnp.stack([left, left])
+    rights = jnp.stack([right, right])
+    slefts, srights = tiling.shard_batch_arrays((lefts, rights), m22)
+    out_b = np.asarray(
+        J(tiling.match_batch_sharded, cfg=cfg, device_mesh=m22)(
+            slefts, srights
+        )
+    )
+    np.testing.assert_array_equal(out_b[0], ref_auto)
+    np.testing.assert_array_equal(out_b[1], ref_auto)

@@ -53,11 +53,7 @@ def main():
         from aswstereomatch_tpu.utils import aotcache
 
         t0 = time.perf_counter()
-        fn, _src = aotcache.compile_cached(
-            functools.partial(pipeline.match_pair, cfg=cfg),
-            (l, r),
-            key_parts=("match_pair", cfg.config_hash()),
-        )
+        fn, _src = aotcache.cached_match_pair(cfg, l, r)
         out = fn(l, r)
         float(out[0, 0])
         compile_s = time.perf_counter() - t0

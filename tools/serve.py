@@ -99,10 +99,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     # compile — first-request latency, production-style.
                     from aswstereomatch_tpu.utils import aotcache
 
-                    cache[key], _ = aotcache.compile_cached(
-                        functools.partial(pipeline.match_pair, cfg=cfg),
-                        (jnp.asarray(left), jnp.asarray(right)),
-                        key_parts=("match_pair", cfg.config_hash()),
+                    cache[key], _ = aotcache.cached_match_pair(
+                        cfg, jnp.asarray(left), jnp.asarray(right)
                     )
                 t0 = time.perf_counter()
                 disp = cache[key](jnp.asarray(left), jnp.asarray(right))

@@ -93,7 +93,19 @@ def main(argv=None):
         print(f"no pairs found in {args.dir}", file=sys.stderr)
         return 2
 
-    fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
+    from aswstereomatch_tpu.utils import aotcache
+
+    # AOT executable cache: warm sweeps start in ~0.5 s instead of paying
+    # the 1-4 min Mosaic compile (same cache bench.py and serve.py use).
+    # Executables are shape-specialized, so key per image shape (plain
+    # jax.jit would retrace; this keeps the disk-cache behavior explicit).
+    fns: dict = {}
+
+    def get_fn(l, r):
+        key = l.shape
+        if key not in fns:
+            fns[key], _src = aotcache.cached_match_pair(cfg, l, r)
+        return fns[key]
 
     # Software pipelining: submit pair k+1 before fetching pair k, so host
     # decode/encode and the per-dispatch tunnel round trip overlap device
@@ -104,13 +116,21 @@ def main(argv=None):
     def submit(pid: str):
         left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
         right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
-        pending[pid] = fn(jnp.asarray(left), jnp.asarray(right))
+        l, r = jnp.asarray(left), jnp.asarray(right)
+        pending[pid] = get_fn(l, r)(l, r)
 
     def process(pid: str, next_pid=None) -> dict:
         if pid not in pending:
             submit(pid)
         if next_pid is not None and next_pid not in pending:
-            submit(next_pid)  # enqueue the successor before we block
+            # Enqueue the successor before we block — but never let ITS
+            # failure (missing/corrupt files) discard the current pair's
+            # finished computation or manifest record; the successor's own
+            # turn re-raises with correct attribution.
+            try:
+                submit(next_pid)
+            except Exception:  # noqa: BLE001
+                pass
         disp = np.asarray(pending.pop(pid))
         io.write_pfm(os.path.join(args.dir, f"{pid}_disp.pfm"), disp)
         rec = {"id": pid}

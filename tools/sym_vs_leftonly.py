@@ -43,11 +43,7 @@ def main():
             )
             from aswstereomatch_tpu.utils import aotcache
 
-            fn, _src = aotcache.compile_cached(
-                functools.partial(pipeline.match_pair, cfg=cfg),
-                (l, r),
-                key_parts=("match_pair", cfg.config_hash()),
-            )
+            fn, _src = aotcache.cached_match_pair(cfg, l, r)
             out = fn(l, r)
             float(out[0, 0])  # axon: scalar fetch = real sync
             times = []

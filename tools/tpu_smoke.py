@@ -5,7 +5,9 @@ Interpret-mode tests (tests/) do not enforce Mosaic sublane/lane alignment
 or tiling changes can silently regress hardware-only constraints.  This tool
 re-runs the docs/PERF_NOTES.md smoke matrix ON THE REAL CHIP in a few
 minutes: symmetric / left-only / AD-cost / box / weighted-median full
-pipelines, the x-tiled strip-export path, and a batch=2 vmap, at small
+pipelines, the x-tiled strip-export path, and batch=2 through the real
+batch API for both kernel families (vmapped x-lanes AND the lax.map
+d-lanes route — Mosaic cannot vmap the d-lanes kernels), at small
 geometries spanning r in {1,2,4} and D in {4,8,16}.
 
 Each config's compiled-Pallas pipeline output is checked against the jnp
