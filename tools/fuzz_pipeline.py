@@ -93,6 +93,15 @@ def main():
                 )
                 np.testing.assert_array_equal(d_t, d_pal)
 
+            if t % 3 == 0:  # batch API: batch-of-2 == single, both routes
+                d_b = np.asarray(
+                    J(pipeline.match_batch, cfg=cfg)(
+                        jnp.stack([l, l]), jnp.stack([r, r])
+                    )
+                )
+                np.testing.assert_array_equal(d_b[0], d_pal)
+                np.testing.assert_array_equal(d_b[1], d_pal)
+
             if D % 4 == 0 and cfg.aggregation in ("asw", "box"):
                 m = mesh_lib.build_mesh(data=1, tile=4)
                 ref_x = np.asarray(
