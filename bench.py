@@ -116,10 +116,10 @@ def _numpy_asw_reference_rate() -> float:
     return rate
 
 
-def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto") -> dict:
-    import jax
+def _bench_setup(preset: str, backend: str):
+    """Preset -> (cfg, left, right, geometry) — shared by the measured bench
+    and the --warm-only cache populator so both resolve the same cache key."""
     from aswstereomatch_tpu.config import StereoConfig
-    from aswstereomatch_tpu.models import pipeline
     from aswstereomatch_tpu.utils import synthetic
 
     g = GEOM[preset]
@@ -144,6 +144,26 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
 
     left = jnp.asarray(pair["left"])
     right = jnp.asarray(pair["right"])
+    return cfg, left, right, g
+
+
+def warm_cache(preset: str, backend: str) -> str:
+    """Populate the AOT executable cache for a preset and return the compile
+    source.  Does NOT execute the pipeline — the sole purpose is that the
+    next ``bench.py`` run loads instead of compiling, and every second this
+    process holds the (single, serialized) TPU device is a second a
+    concurrently-launched bench cannot use it."""
+    from aswstereomatch_tpu.utils import aotcache
+
+    cfg, left, right, _ = _bench_setup(preset, backend)
+    _, source = aotcache.cached_match_pair(cfg, left, right)
+    return source
+
+
+def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto") -> dict:
+    import jax
+
+    cfg, left, right, g = _bench_setup(preset, backend)
     # AOT executable cache: a committed prebuilt binary turns the multi-minute
     # Mosaic cold compile into a ~0.2 s load (utils/aotcache.py), so the
     # driver-run bench lands a live number inside its timeout.
@@ -221,6 +241,25 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
     return result
 
 
+_WARM_PID = os.path.join(BENCH_DIR, "warm_cache.pid")
+
+
+def _warm_child_alive() -> bool:
+    """True if a previously spawned --warm-only child is still running.
+
+    The device is single and access is serialized: a second warm child (or a
+    bench racing one) just queues behind the first, starving every later run
+    past its deadline — observed live as a self-inflicted pile-up of STALE
+    fallbacks.  One warm child at a time."""
+    try:
+        with open(_WARM_PID) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)  # signal 0: existence check only
+        return True
+    except (OSError, ValueError):
+        return False
+
+
 def _cached_fallback(preset: str):
     """Last recorded measurement, marked stale — emitted only if a live run
     can't complete (e.g. the TPU tunnel wedges, which was observed once this
@@ -259,7 +298,7 @@ def main():
     args = ap.parse_args()
 
     if args.warm_only:
-        run_bench(args.preset, iters=1, save=False, backend=args.backend)
+        print(f"warm_cache({args.preset}): {warm_cache(args.preset, args.backend)}")
         return
 
     import threading
@@ -293,18 +332,20 @@ def main():
     # kill the worker mid-compile, so the AOT cache would miss identically
     # on every future run.  A detached child redoes compile+cache-save with
     # no deadline; the next bench run then lands a live number instantly.
-    if "error" not in box:
+    if "error" not in box and not _warm_child_alive():
         import subprocess
         import sys
 
         os.makedirs(BENCH_DIR, exist_ok=True)
         with open(os.path.join(BENCH_DIR, "warm_cache.log"), "ab") as log:
-            subprocess.Popen(
+            child = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__),
                  "--preset", args.preset, "--backend", args.backend,
                  "--warm-only"],
                 stdout=log, stderr=log, start_new_session=True,
             )
+        with open(_WARM_PID, "w") as f:
+            f.write(str(child.pid))
     # the worker thread is daemonic; exit without waiting on a wedged device
     os._exit(0)
 
