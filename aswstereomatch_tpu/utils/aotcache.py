@@ -140,7 +140,42 @@ def save(key: str, compiled) -> bool:
     with open(tmp, "wb") as f:
         pickle.dump(blob, f)
     os.replace(tmp, _path(key))  # atomic: a crashed writer leaves no torn file
+    prune(keep=_path(key))
     return True
+
+
+def prune(keep: str | None = None, max_bytes: int | None = None) -> int:
+    """Evict oldest cache entries until the directory fits ``max_bytes``.
+
+    Entries are invalidated by source-hash keys, so every package edit
+    strands the previous executables on disk forever (~77 MB each at KITTI
+    geometry — an unbounded leak across an active round).  LRU by mtime;
+    the just-written ``keep`` path is never evicted.  Returns bytes freed.
+    """
+    if max_bytes is None:
+        max_bytes = int(os.environ.get("ASW_AOT_CACHE_MAX_BYTES", 2 << 30))
+    try:
+        entries = [
+            (os.path.getmtime(p), os.path.getsize(p), p)
+            for n in os.listdir(cache_dir())
+            if n.endswith(".jaxexec")
+            for p in [os.path.join(cache_dir(), n)]
+        ]
+    except OSError:
+        return 0
+    total = sum(s for _, s, _ in entries)
+    freed = 0
+    for _, size, path in sorted(entries):  # oldest first
+        if total - freed <= max_bytes:
+            break
+        if keep and os.path.abspath(path) == os.path.abspath(keep):
+            continue
+        try:
+            os.remove(path)
+            freed += size
+        except OSError:
+            pass
+    return freed
 
 
 def cached_match_pair(cfg, left, right):

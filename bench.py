@@ -297,9 +297,28 @@ def main():
     )
     args = ap.parse_args()
 
+    from aswstereomatch_tpu.utils import devlock
+
     if args.warm_only:
-        print(f"warm_cache({args.preset}): {warm_cache(args.preset, args.backend)}")
-        return
+        # Self-watchdog: nothing external times out a detached warmer, and a
+        # backend outage blocks init indefinitely — exit rather than hold
+        # the device lock for hours.
+        import threading
+
+        watchdog = threading.Timer(
+            float(os.environ.get("BENCH_WARM_MAX_S", 1800)),
+            lambda: os._exit(3),
+        )
+        watchdog.daemon = True  # a raised TimeoutError must not wait on it
+        watchdog.start()
+        # Generous lock wait: the warmer must not pile onto a live bench
+        # (the exact failure this lock exists for).
+        with devlock.device_lock("bench --warm-only", timeout_s=900):
+            print(
+                f"warm_cache({args.preset}): "
+                f"{warm_cache(args.preset, args.backend)}"
+            )
+        os._exit(0)  # don't wait on the watchdog timer thread
 
     import threading
 
@@ -307,7 +326,13 @@ def main():
 
     def work():
         try:
-            box["result"] = run_bench(args.preset, args.iters, backend=args.backend)
+            # Half the deadline for lock wait: a named TimeoutError in the
+            # STALE line ("held by pid N (serve)") beats silently queueing
+            # on the device past the whole deadline.
+            with devlock.device_lock("bench", timeout_s=args.deadline_s / 2):
+                box["result"] = run_bench(
+                    args.preset, args.iters, backend=args.backend
+                )
         except Exception as e:  # noqa: BLE001
             box["error"] = f"{type(e).__name__}: {e}"
 

@@ -86,3 +86,55 @@ def test_exact_match_and_delta():
     b[0, 0] = 5.0
     assert evaluate.exact_match_rate(a, b) == 15 / 16
     assert evaluate.bad_delta_between(a, b, 2.0) == 1 / 16
+
+
+def test_device_lock_exclusion_and_holder(tmp_path, monkeypatch):
+    from aswstereomatch_tpu.utils import devlock
+
+    monkeypatch.setenv("ASW_DEVICE_LOCK", str(tmp_path / "dev.lock"))
+    with devlock.device_lock("first"):
+        info = devlock.holder_info()
+        assert info["pid"] == os.getpid() and info["label"] == "first"
+        # flock is per-fd (not per-pid recursive): a second acquire in this
+        # same process contends like another process would.
+        with pytest.raises(TimeoutError, match="first"):
+            with devlock.device_lock("second", timeout_s=0.2, poll_s=0.05):
+                pass
+    # released: immediate re-acquire succeeds, holder info goes stale-dead
+    with devlock.device_lock("third", timeout_s=0):
+        assert devlock.holder_info()["label"] == "third"
+
+
+def test_device_lock_stale_holder_pid(tmp_path, monkeypatch):
+    import json
+
+    from aswstereomatch_tpu.utils import devlock
+
+    lock = tmp_path / "dev.lock"
+    monkeypatch.setenv("ASW_DEVICE_LOCK", str(lock))
+    # A dead holder leaves contents but no flock: acquire must succeed
+    # instantly and holder_info must report nobody.
+    lock.write_text(json.dumps({"pid": 2 ** 22 + 1234, "label": "ghost"}))
+    assert devlock.holder_info() is None
+    with devlock.device_lock("taker", timeout_s=0):
+        assert devlock.holder_info()["label"] == "taker"
+
+
+def test_aotcache_prune(tmp_path, monkeypatch):
+    from aswstereomatch_tpu.utils import aotcache
+
+    monkeypatch.setenv("ASW_AOT_CACHE_DIR", str(tmp_path))
+    paths = []
+    for i in range(4):
+        p = tmp_path / f"entry{i}.jaxexec"
+        p.write_bytes(b"x" * 1000)
+        os.utime(p, (1000 + i, 1000 + i))  # entry0 oldest
+        paths.append(p)
+    # keep= pins the oldest file even though LRU would evict it first;
+    # the other three go (4000 B -> budget 1500 B needs 3 evictions).
+    freed = aotcache.prune(keep=str(paths[0]), max_bytes=1500)
+    assert freed == 3000
+    assert paths[0].exists()
+    assert not any(p.exists() for p in paths[1:])
+    # under budget: no-op
+    assert aotcache.prune(max_bytes=1 << 30) == 0

@@ -219,4 +219,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("ablate_sym_kernel", timeout_s=120):
+        main()

@@ -201,9 +201,20 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.self_test:
         sys.exit(self_test(args.port))
-    srv = Server((args.host, args.port))
-    print(f"serving on {args.host}:{args.port}", flush=True)
-    srv.serve_forever()
+    from aswstereomatch_tpu.utils import devlock
+
+    if args.platform == "cpu":
+        srv = Server((args.host, args.port))
+        print(f"serving on {args.host}:{args.port}", flush=True)
+        srv.serve_forever()
+    else:
+        # Hold the device for the daemon's lifetime: a bench/sweep started
+        # alongside a live server would silently queue behind it (device
+        # access is serialized); with the lock they fail fast, naming us.
+        with devlock.device_lock("serve", timeout_s=60):
+            srv = Server((args.host, args.port))
+            print(f"serving on {args.host}:{args.port}", flush=True)
+            srv.serve_forever()
 
 
 if __name__ == "__main__":

@@ -143,10 +143,13 @@ def main(argv=None):
         return rec
 
     mpath = args.manifest or os.path.join(args.dir, "sweep_manifest.json")
-    results = manifest.run_sweep(
-        pair_ids, process, mpath, cfg.config_hash(), flush_every=1,
-        pass_next=True,
-    )
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("sweep", timeout_s=300):
+        results = manifest.run_sweep(
+            pair_ids, process, mpath, cfg.config_hash(), flush_every=1,
+            pass_next=True,
+        )
     done = [r for r in results.values() if r]
     bad2 = [r["bad_2"] for r in done if "bad_2" in r]
     summary = {

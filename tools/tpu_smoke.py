@@ -144,11 +144,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="first 3 configs only")
     args = ap.parse_args()
-    dev = jax.devices()[0]
-    print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
-    if dev.platform != "tpu":
-        print("WARNING: not a TPU — this gate is meant for hardware", flush=True)
-    sys.exit(run_matrix(quick=args.quick))
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("tpu_smoke", timeout_s=120):
+        dev = jax.devices()[0]
+        print(f"device: {dev.device_kind} ({dev.platform})", flush=True)
+        if dev.platform != "tpu":
+            print(
+                "WARNING: not a TPU — this gate is meant for hardware",
+                flush=True,
+            )
+        sys.exit(run_matrix(quick=args.quick))
 
 
 if __name__ == "__main__":
