@@ -44,14 +44,22 @@ def cache_dir() -> str:
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Host-only modules, excluded from the source hash: they never run under
+# jax tracing, so they cannot influence a compiled executable, and hashing
+# them would strand every cached binary (a multi-minute Mosaic recompile)
+# on e.g. a lock-file tweak.  INVARIANT for anything listed here: no code
+# path in the module contributes to a traced/jitted computation.
+_HOST_ONLY_FILES = frozenset({"aotcache.py", "devlock.py", "manifest.py"})
+
+
 def _compute_source_hash() -> str:
-    """Hash of every package source file: a kernel/pipeline edit must
-    invalidate cached executables, or a stale binary would silently bench
-    old code."""
+    """Hash of every compute-relevant package source file: a kernel or
+    pipeline edit must invalidate cached executables, or a stale binary
+    would silently bench old code."""
     h = hashlib.sha256()
     for root, _, files in sorted(os.walk(_PKG_DIR)):
         for f in sorted(files):
-            if f.endswith(".py"):
+            if f.endswith(".py") and f not in _HOST_ONLY_FILES:
                 p = os.path.join(root, f)
                 # Key on the package-relative path: committed cache
                 # artifacts must survive checkout relocation (content-only
