@@ -122,9 +122,17 @@ def main(argv=None):
     if args.mesh:
         nd, nt = (int(v) for v in args.mesh.lower().split("x"))
         cfg = cfg.replace(mesh_data=nd, mesh_tile=nt, tile_axis=args.shard_axis)
-    fn = jax.jit(parallel_api.sharded_match_fn(cfg))
-
     t0 = time.perf_counter()
+    if cfg.mesh_data * cfg.mesh_tile <= 1:
+        # Single-device: the AOT executable cache turns the 1-4 min Mosaic
+        # cold compile into a ~0.2 s load across CLI invocations (sharded
+        # executables bind the device topology, so mesh runs stay on jit).
+        from aswstereomatch_tpu.utils import aotcache
+
+        fn, _src = aotcache.cached_match_pair(cfg, l_dev, r_dev)
+    else:
+        fn = jax.jit(parallel_api.sharded_match_fn(cfg))
+
     disp = fn(l_dev, r_dev)
     profiling.force_sync(disp)
     compile_s = time.perf_counter() - t0
