@@ -69,9 +69,11 @@ def device_lock(label: str, timeout_s: float = 300.0, poll_s: float = 1.0):
                         f"pid {who['pid']} ({who.get('label', '?')}, since "
                         f"{who.get('since', '?')})" if who else "unknown holder"
                     )
+                    # Holder first: callers truncate this message into
+                    # one-line diagnostics, and WHO is the useful part.
                     raise TimeoutError(
-                        f"TPU device lock {lock_path()} held by {held}; "
-                        f"waited {timeout_s:.0f}s"
+                        f"TPU device held by {held}; waited "
+                        f"{timeout_s:.0f}s on lock {lock_path()}"
                     ) from None
                 time.sleep(min(poll_s, max(0.01, deadline - time.monotonic())))
         os.ftruncate(fd, 0)

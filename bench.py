@@ -345,7 +345,7 @@ def main():
     fallback = _cached_fallback(args.preset)
     if fallback is not None:
         if "error" in box:
-            fallback["metric"] += f" [live error: {box['error'][:120]}]"
+            fallback["metric"] += f" [live error: {box['error'][:200]}]"
         print(json.dumps(fallback))
     else:
         print(json.dumps({
