@@ -104,4 +104,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("compare_opencv", timeout_s=120):
+        main()

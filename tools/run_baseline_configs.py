@@ -107,4 +107,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("run_baseline_configs", timeout_s=120):
+        main()

@@ -83,4 +83,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from aswstereomatch_tpu.utils import devlock
+
+    with devlock.device_lock("sym_vs_leftonly", timeout_s=120):
+        main()
