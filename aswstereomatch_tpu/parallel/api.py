@@ -20,7 +20,10 @@ from ..models import pipeline
 from . import dshard, mesh as mesh_lib, tiling
 
 
-def _layout_fits(cfg: StereoConfig) -> bool:
+def layout_fits(cfg: StereoConfig) -> bool:
+    """True iff cfg declares a >1-device mesh that fits the visible devices
+    (public: callers routing between AOT-cached single-device executables
+    and sharded jit need exactly this predicate)."""
     need = cfg.mesh_data * cfg.mesh_tile
     if need <= 1:
         return False
@@ -39,7 +42,7 @@ def sharded_match_fn(cfg: StereoConfig):
     Falls back to the single-device pipeline when the layout is 1x1 or does
     not fit the visible devices (with a warning).
     """
-    if not _layout_fits(cfg):
+    if not layout_fits(cfg):
         return functools.partial(pipeline.match_pair, cfg=cfg)
     m = mesh_lib.mesh_from_config(cfg)
     fn = {
@@ -56,7 +59,7 @@ def sharded_batch_fn(cfg: StereoConfig):
     Batch mode shards "data" x y-tiles; for x/d tile_axis the per-pair
     function is vmapped over the batch via the single-pair path.
     """
-    if not _layout_fits(cfg):
+    if not layout_fits(cfg):
         return functools.partial(pipeline.match_batch, cfg=cfg)
     m = mesh_lib.mesh_from_config(cfg)
     if cfg.tile_axis == "y":

@@ -25,6 +25,7 @@ import functools
 import hashlib
 import os
 import pickle
+import time
 import warnings
 
 import jax
@@ -120,9 +121,14 @@ def load(key: str):
             return None
         from jax.experimental.serialize_executable import deserialize_and_load
 
-        return deserialize_and_load(
+        loaded = deserialize_and_load(
             blob["payload"], blob["in_tree"], blob["out_tree"]
         )
+        try:
+            os.utime(path)  # true LRU: a hit must protect against prune()
+        except OSError:
+            pass
+        return loaded
     except Exception as e:  # noqa: BLE001 — cache must never break the caller
         warnings.warn(f"aotcache: failed to load {path}: {e}")
         return None
@@ -161,16 +167,30 @@ def prune(keep: str | None = None, max_bytes: int | None = None) -> int:
     the just-written ``keep`` path is never evicted.  Returns bytes freed.
     """
     if max_bytes is None:
-        max_bytes = int(os.environ.get("ASW_AOT_CACHE_MAX_BYTES", 2 << 30))
+        try:
+            max_bytes = int(os.environ.get("ASW_AOT_CACHE_MAX_BYTES", 2 << 30))
+        except ValueError:  # "2G" etc. — never break the caller's save()
+            warnings.warn("aotcache: ASW_AOT_CACHE_MAX_BYTES is not an int")
+            max_bytes = 2 << 30
     try:
-        entries = [
-            (os.path.getmtime(p), os.path.getsize(p), p)
-            for n in os.listdir(cache_dir())
-            if n.endswith(".jaxexec")
-            for p in [os.path.join(cache_dir(), n)]
-        ]
+        names = os.listdir(cache_dir())
     except OSError:
         return 0
+    entries = []
+    for n in names:
+        p = os.path.join(cache_dir(), n)
+        try:
+            if n.endswith(".jaxexec.tmp"):
+                # Orphan from a writer killed mid-pickle (bench's os._exit
+                # deadline path can land there) — same leak, tmp suffix.
+                # An hour of grace covers any live writer's dump().
+                if time.time() - os.path.getmtime(p) > 3600:
+                    os.remove(p)
+                continue
+            if n.endswith(".jaxexec"):
+                entries.append((os.path.getmtime(p), os.path.getsize(p), p))
+        except OSError:
+            continue
     total = sum(s for _, s, _ in entries)
     freed = 0
     for _, size, path in sorted(entries):  # oldest first

@@ -254,8 +254,11 @@ def _warm_child_alive() -> bool:
     try:
         with open(_WARM_PID) as f:
             pid = int(f.read().strip())
-        os.kill(pid, 0)  # signal 0: existence check only
-        return True
+        # The pid file is never reaped (the spawner exits immediately), so
+        # guard against pid reuse: it only counts if that pid really is a
+        # warm-only bench.
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            return b"--warm-only" in f.read()
     except (OSError, ValueError):
         return False
 
@@ -297,9 +300,9 @@ def main():
     )
     args = ap.parse_args()
 
-    from aswstereomatch_tpu.utils import devlock
-
     if args.warm_only:
+        from aswstereomatch_tpu.utils import devlock
+
         # Self-watchdog: nothing external times out a detached warmer, and a
         # backend outage blocks init indefinitely — exit rather than hold
         # the device lock for hours.
@@ -326,6 +329,10 @@ def main():
 
     def work():
         try:
+            # Inside the deadline-bounded worker: the main thread must reach
+            # its one-JSON-line fallback even if package import stalls.
+            from aswstereomatch_tpu.utils import devlock
+
             # Half the deadline for lock wait: a named TimeoutError in the
             # STALE line ("held by pid N (serve)") beats silently queueing
             # on the device past the whole deadline.

@@ -123,10 +123,13 @@ def main(argv=None):
         nd, nt = (int(v) for v in args.mesh.lower().split("x"))
         cfg = cfg.replace(mesh_data=nd, mesh_tile=nt, tile_axis=args.shard_axis)
     t0 = time.perf_counter()
-    if cfg.mesh_data * cfg.mesh_tile <= 1:
-        # Single-device: the AOT executable cache turns the 1-4 min Mosaic
-        # cold compile into a ~0.2 s load across CLI invocations (sharded
-        # executables bind the device topology, so mesh runs stay on jit).
+    if not parallel_api.layout_fits(cfg):
+        # Single-device (including a declared mesh that doesn't fit the
+        # visible devices — layout_fits warns and sharded_match_fn would run
+        # the identical unsharded pipeline): the AOT executable cache turns
+        # the 1-4 min Mosaic cold compile into a ~0.2 s load across CLI
+        # invocations.  Mesh runs stay on jit — serialized executables bind
+        # the device topology.
         from aswstereomatch_tpu.utils import aotcache
 
         fn, _src = aotcache.cached_match_pair(cfg, l_dev, r_dev)

@@ -138,3 +138,19 @@ def test_aotcache_prune(tmp_path, monkeypatch):
     assert not any(p.exists() for p in paths[1:])
     # under budget: no-op
     assert aotcache.prune(max_bytes=1 << 30) == 0
+    # orphaned .tmp from a writer killed mid-pickle: swept once stale (>1 h),
+    # left alone while fresh (could be a live writer's in-progress dump)
+    stale = tmp_path / "dead.jaxexec.tmp"
+    fresh = tmp_path / "live.jaxexec.tmp"
+    stale.write_bytes(b"x")
+    fresh.write_bytes(b"x")
+    os.utime(stale, (1000, 1000))
+    aotcache.prune(max_bytes=1 << 30)
+    assert not stale.exists() and fresh.exists()
+    # malformed env budget must not break the caller (save() contract)
+    os.environ["ASW_AOT_CACHE_MAX_BYTES"] = "2G"
+    try:
+        with pytest.warns(UserWarning, match="not an int"):
+            aotcache.prune()
+    finally:
+        del os.environ["ASW_AOT_CACHE_MAX_BYTES"]

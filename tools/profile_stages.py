@@ -48,6 +48,8 @@ def main():
                          "JAX_PLATFORMS env vars)")
     args = ap.parse_args()
 
+    import contextlib
+
     import jax
 
     if args.platform:
@@ -55,7 +57,18 @@ def main():
     import jax.numpy as jnp
 
     from aswstereomatch_tpu.config import StereoConfig
-    from aswstereomatch_tpu.utils import aotcache, synthetic
+    from aswstereomatch_tpu.utils import aotcache, devlock, synthetic
+
+    # A cpu-forced run must not hold the TPU arbitration lock.
+    lock = (
+        contextlib.nullcontext() if args.platform == "cpu"
+        else devlock.device_lock("profile_stages", timeout_s=120)
+    )
+    with lock:
+        return _run(args, jnp, StereoConfig, aotcache, synthetic)
+
+
+def _run(args, jnp, StereoConfig, aotcache, synthetic):
 
     g = dict(GEOMS[args.geometry])
     r_win = g.pop("window_radius", 16)
@@ -122,7 +135,4 @@ def main():
 
 
 if __name__ == "__main__":
-    from aswstereomatch_tpu.utils import devlock
-
-    with devlock.device_lock("profile_stages", timeout_s=120):
-        sys.exit(main())
+    sys.exit(main())

@@ -132,7 +132,7 @@ class Server(socketserver.ThreadingTCPServer):
         self.fn_cache = {}
 
 
-def self_test(port: int) -> int:
+def self_test(port: int, platform: str | None = None) -> int:
     import subprocess
     import tempfile
 
@@ -141,10 +141,12 @@ def self_test(port: int) -> int:
     log = tempfile.NamedTemporaryFile(
         prefix="stereo_serve_", suffix=".log", delete=False
     )
-    proc = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--port", str(port)],
-        stdout=log, stderr=subprocess.STDOUT,
-    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--port", str(port)]
+    if platform:
+        # Forward the platform override: a cpu-forced self-test must not
+        # spawn a TPU-path child (device lock + axon init).
+        cmd += ["--platform", platform]
+    proc = subprocess.Popen(cmd, stdout=log, stderr=subprocess.STDOUT)
     try:
         from aswstereomatch_tpu.utils import evaluate, synthetic
 
@@ -200,7 +202,7 @@ def main():
 
         jax.config.update("jax_platforms", args.platform)
     if args.self_test:
-        sys.exit(self_test(args.port))
+        sys.exit(self_test(args.port, args.platform))
     from aswstereomatch_tpu.utils import devlock
 
     if args.platform == "cpu":
