@@ -85,6 +85,14 @@ class StereoConfig:
     gamma_color: float = 14.0          # gamma_c: Lab color bandwidth (ASW)
     gamma_spatial: float = 31.0        # gamma_p: spatial bandwidth (ASW)
     asw_symmetric: bool = True         # two-view (wL*wR) vs left-only weights
+    asw_separable: bool = False        # two-pass (vertical then horizontal)
+                                       # separable approximation of the ASW
+                                       # window: O(K) taps instead of O(K^2).
+                                       # An approximation, not the exact
+                                       # Yoon-Kweon sum — a documented speed
+                                       # mode (spatial term becomes
+                                       # exp(-(|dy|+|dx|)/gamma_p); color
+                                       # path runs through the window cross)
     # ---- post-processing (L5) ----------------------------------------------
     lr_check: bool = True
     lr_tol: float = 1.0                # max |dL - dR| to accept a pixel
@@ -128,6 +136,14 @@ class StereoConfig:
             raise ValueError(f"unknown median_mode {self.median_mode!r}")
         if self.kernel_layout not in ("auto", "xlanes", "dlanes"):
             raise ValueError(f"unknown kernel_layout {self.kernel_layout!r}")
+        if self.asw_separable and self.aggregation != "asw":
+            raise ValueError("asw_separable requires aggregation='asw'")
+        if self.asw_separable and self.backend == "pallas":
+            # The fused kernels implement the exact O(K^2) window; a forced
+            # pallas backend would silently compute the wrong algorithm.
+            raise ValueError(
+                "asw_separable has no pallas kernel; use backend='auto'/'jnp'"
+            )
 
     # -- derived --------------------------------------------------------------
     @property

@@ -156,6 +156,65 @@ def aggregate_asw(
     return out.astype(np.float32)
 
 
+def _asw_weight_1d(
+    lab: np.ndarray, y: int, j: int, yy: int, jj: int, o: int, cfg: StereoConfig
+) -> float:
+    """1D bilateral factor for the separable passes: color term between the
+    (clamped-y) tap and the pass center, spatial term exp(-|o|/gamma_p)."""
+    dc = float(np.sqrt(((lab[y, j] - lab[yy, jj]) ** 2).sum()))
+    return float(np.exp(-dc / cfg.gamma_color - abs(o) / cfg.gamma_spatial))
+
+
+def aggregate_asw_separable(
+    vol_ext: np.ndarray, left: np.ndarray, right: np.ndarray, cfg: StereoConfig
+) -> np.ndarray:
+    """Two-pass separable ASW, literal loop form (the ``asw_separable``
+    speed-mode spec): a vertical bilateral pass over the x-extended cost,
+    then a horizontal bilateral pass; symmetric mode multiplies the
+    right-view factor into both passes.  Same virtual padded-plane border
+    semantics as ``aggregate_asw``.
+    """
+    h, we, D = vol_ext.shape
+    r = cfg.window_radius
+    w = we - 2 * r
+    lab_l = _pad_x(colorspace.rgb_to_lab(left, np), r, r)
+    lab_r = _pad_x(colorspace.rgb_to_lab(right, np), r + D - 1, r)
+    out = np.zeros((h, w, D), np.float32)
+    numv = np.zeros((h, we), np.float64)
+    denv = np.zeros((h, we), np.float64)
+    for d in range(D):
+        for y in range(h):
+            for u in range(we):        # vertical pass on extended columns
+                jr = u - d + D - 1     # center u-r-d+... in lab_r coords:
+                # lab_l col u <-> plane col u - r; lab_r center = (u-r) - d
+                # + (r + D - 1) = u - d + D - 1.
+                nv = dv = 0.0
+                for wy in range(-r, r + 1):
+                    yy = min(max(y + wy, 0), h - 1)
+                    wgt = _asw_weight_1d(lab_l, y, u, yy, u, wy, cfg)
+                    if cfg.asw_symmetric:
+                        wgt *= _asw_weight_1d(lab_r, y, jr, yy, jr, wy, cfg)
+                    nv += wgt * vol_ext[yy, u, d]
+                    dv += wgt
+                numv[y, u] = nv
+                denv[y, u] = dv
+        for y in range(h):
+            for x in range(w):         # horizontal pass on true centers
+                jl = x + r
+                jr = x - d + r + D - 1
+                num = den = 0.0
+                for wx in range(-r, r + 1):
+                    # taps beyond the extended plane replicate the edge
+                    jj = min(max(jl + wx, 0), we - 1)
+                    wgt = _asw_weight_1d(lab_l, y, jl, y, jl + wx, wx, cfg)
+                    if cfg.asw_symmetric:
+                        wgt *= _asw_weight_1d(lab_r, y, jr, y, jr + wx, wx, cfg)
+                    num += wgt * numv[y, jj]
+                    den += wgt * denv[y, jj]
+                out[y, x, d] = num / den
+    return out.astype(np.float32)
+
+
 def wta(vol: np.ndarray) -> np.ndarray:
     return np.argmin(vol, axis=-1).astype(np.int32)
 
@@ -287,7 +346,8 @@ def match_pair(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.nda
             cost_volume_ext(left, right, cfg, cfg.window_radius), cfg
         )
     elif cfg.aggregation == "asw":
-        vol = aggregate_asw(
+        agg = aggregate_asw_separable if cfg.asw_separable else aggregate_asw
+        vol = agg(
             cost_volume_ext(left, right, cfg, cfg.window_radius),
             left, right, cfg,
         )

@@ -96,6 +96,124 @@ def _bilateral_planes(
     return bilateral_planes_from_lab(preprocess.rgb_to_lab(imgp), cfg)
 
 
+def _patches_1d_y(arr: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """(H, W) -> (H, W, K) vertical window taps, edge-replicated in y."""
+    k = 2 * radius + 1
+    h = arr.shape[0]
+    pad = jnp.pad(arr, ((radius, radius), (0, 0)), mode="edge")
+    return jnp.stack([pad[o : o + h, :] for o in range(k)], axis=-1)
+
+
+def _patches_1d_x(arr: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """x-extended (H, W + 2r) -> (H, W, K) horizontal taps, VALID slide."""
+    k = 2 * radius + 1
+    w_out = arr.shape[1] - 2 * radius
+    return jnp.stack([arr[:, o : o + w_out] for o in range(k)], axis=-1)
+
+
+def _axial_weights_np(cfg: StereoConfig) -> np.ndarray:
+    r = cfg.window_radius
+    o = np.abs(np.arange(-r, r + 1)).astype(np.float64)
+    return np.exp(-o / cfg.gamma_spatial).astype(np.float32)
+
+
+def _bilateral_1d(
+    lab: jnp.ndarray, cfg: StereoConfig, axis: str, x_valid: bool = False
+) -> jnp.ndarray:
+    """1D bilateral weight planes w(p, p + o*e_axis) -> (H, W_out, K).
+
+    axis "y": taps run down the column (edge-replicated rows).  axis "x"
+    with x_valid: lab is pre-extended by r per side and taps slide VALID.
+    Spatial factor is exp(-|o| / gamma_p) — the separable (L1) form.
+    """
+    r = cfg.window_radius
+    patches = _patches_1d_y if axis == "y" else _patches_1d_x
+    d2 = None
+    if axis == "x":
+        assert x_valid, "x-axis weights require a pre-extended lab plane"
+        center = lab[..., r : lab.shape[-2] - r, :]
+    else:
+        center = lab
+    for c in range(3):
+        p = patches(lab[..., c], r)
+        diff = p - center[..., c : c + 1]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
+    aw = jnp.asarray(_axial_weights_np(cfg))
+    return (jnp.exp(-jnp.sqrt(d2) / cfg.gamma_color) * aw).astype(jnp.float32)
+
+
+def aggregate_asw_separable_from_stacks(
+    l_stack_ext: jnp.ndarray,
+    r_stack_ext: jnp.ndarray,
+    cfg: StereoConfig,
+    d_indices: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Two-pass separable ASW from pre-extended channel stacks.
+
+    The documented speed-mode APPROXIMATION of Yoon-Kweon (config
+    ``asw_separable``): a vertical bilateral pass over the x-extended cost
+    plane followed by a horizontal bilateral pass, O(2K) taps per (pixel, d)
+    instead of O(K^2).  The effective window weight becomes
+
+        w(p, p + (dy, dx)) = wh(p, p + dx*e_x) * wv(p + dx*e_x, +dy*e_y)
+
+    (color path through the window cross, spatial exp(-(|dy|+|dx|)/gamma_p))
+    — the standard real-time two-pass bilateral form.  Symmetric mode
+    multiplies the matching right-view factor into BOTH passes, preserving
+    the view symmetry that makes LR-check volume reuse exact.  Same virtual
+    padded-plane border semantics and stack layout as
+    ``aggregate_asw_from_stacks``; x-tiling/d-sharding route through here
+    unchanged, so tiled == untiled stays bit-exact.
+    """
+    r = cfg.window_radius
+    D = cfg.max_disparity
+    h = l_stack_ext.shape[1]
+    we = l_stack_ext.shape[2]          # W + 2r
+    w = we - 2 * r
+    K = 2 * r + 1
+
+    planes = cost_ops.planes_from_stacks(l_stack_ext, r_stack_ext, r)
+    lab_l = jnp.moveaxis(l_stack_ext[4:7], 0, -1)          # (H, W + 2r, 3)
+    # Vertical weights for every column the horizontal pass can tap.
+    wvl = _bilateral_1d(lab_l, cfg, "y")                   # (H, W + 2r, K)
+    # Horizontal weights need taps r beyond the centers: re-extend by edge
+    # replication (identical to the virtual plane's columns there).
+    lab_l2 = jnp.pad(lab_l, ((0, 0), (r, r), (0, 0)), mode="edge")
+    whl = _bilateral_1d(lab_l2, cfg, "x", x_valid=True)    # (H, W + 2r, K)
+    if cfg.asw_symmetric:
+        lab_r = jnp.moveaxis(r_stack_ext[4:7], 0, -1)      # (H, W+2r+D-1, 3)
+        wvr = _bilateral_1d(lab_r, cfg, "y")               # (H, W+2r+D-1, K)
+        lab_r2 = jnp.pad(lab_r, ((0, 0), (r, r), (0, 0)), mode="edge")
+        whr = _bilateral_1d(lab_r2, cfg, "x", x_valid=True)
+    else:
+        wvr = whr = None
+
+    def step(_, d):
+        plane = cost_ops.cost_plane(planes, d, cfg)        # (H, W + 2r)
+        wv = wvl
+        if wvr is not None:
+            wv = wv * lax.dynamic_slice(wvr, (0, (D - 1) - d, 0), (h, we, K))
+        ytaps = _patches_1d_y(plane, r)                    # (H, W + 2r, K)
+        numv = jnp.sum(wv * ytaps, axis=-1)                # (H, W + 2r)
+        denv = jnp.sum(wv, axis=-1)
+        wh = whl
+        if whr is not None:
+            wh = wh * lax.dynamic_slice(whr, (0, (D - 1) - d, 0), (h, we, K))
+        # Horizontal centers live on the x-extended domain too (width
+        # W + 2r) so the result matches the non-separable output width the
+        # callers slice/consume... but downstream expects (H, W): aggregate
+        # only the true centers.
+        wh_c = wh[:, r : we - r, :]                        # (H, W, K)
+        num = jnp.sum(wh_c * _patches_1d_x(numv, r), axis=-1)
+        den = jnp.sum(wh_c * _patches_1d_x(denv, r), axis=-1)
+        return None, (num / den).astype(jnp.float32)
+
+    if d_indices is None:
+        d_indices = jnp.arange(D)
+    _, out = lax.scan(step, None, d_indices)
+    return jnp.moveaxis(out, 0, -1)                        # (H, W, len(d))
+
+
 def aggregate_box(vol_ext: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     """Mean over the (2r+1)^2 window.  vol_ext: x-extended (H, W+2r, D)."""
     r = cfg.window_radius
@@ -138,6 +256,10 @@ def aggregate_asw_from_stacks(
     columns for an x-tile — same math either way, which is exactly why the
     padded-plane spec was chosen).  Returns (H, W, len(d_indices)).
     """
+    if cfg.asw_separable:
+        return aggregate_asw_separable_from_stacks(
+            l_stack_ext, r_stack_ext, cfg, d_indices
+        )
     r = cfg.window_radius
     D = cfg.max_disparity
     h = l_stack_ext.shape[1]

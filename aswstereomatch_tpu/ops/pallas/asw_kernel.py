@@ -134,8 +134,10 @@ def _row_window(x, start, size: int):
 
 def supports(cfg: StereoConfig) -> bool:
     """The fused kernels cover ASW (both weight modes) and box aggregation,
-    for both costs.  aggregation='none' stays on the jnp path."""
-    return cfg.aggregation in ("asw", "box")
+    for both costs.  aggregation='none' and the separable-ASW approximation
+    stay on the jnp path (the fused kernels implement the exact O(K^2)
+    window sum)."""
+    return cfg.aggregation in ("asw", "box") and not cfg.asw_separable
 
 
 def _interpret() -> bool:

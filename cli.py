@@ -47,6 +47,10 @@ def build_parser():
                      help="left-only ASW weights (the documented speed "
                           "mode: ~5x at KITTI via the d-lanes MXU kernel; "
                           "bad-2.0 stays within the 1%% budget)")
+    cfg.add_argument("--separable", action="store_true",
+                     help="two-pass separable ASW approximation (O(K) taps "
+                          "per pixel instead of O(K^2); accuracy tracks "
+                          "exact ASW on the hard synthetic regime)")
     cfg.add_argument("--kernel-layout", choices=["auto", "xlanes", "dlanes"],
                      help="Pallas data layout (auto picks per config)")
     cfg.add_argument("--no-postprocess", action="store_true",
@@ -110,6 +114,8 @@ def main(argv=None):
             overrides[field] = v
     if args.left_only_weights:
         overrides["asw_symmetric"] = False
+    if args.separable:
+        overrides["asw_separable"] = True
     if args.no_postprocess:
         overrides.update(
             lr_check=False, fill_holes=False, subpixel=False, median_filter=False

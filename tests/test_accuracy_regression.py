@@ -44,6 +44,20 @@ CASES = [
         CFG.replace(aggregation="box"),
         {0: (0.069, 0.72), 1: (0.120, 1.30), 2: (0.070, 0.80)},
     ),
+    # Two-pass separable approximation (asw_separable): measured round 2
+    #   sepsym b2 = 1.68 / 4.57 / 1.87 %, epe = 0.18 / 0.39 / 0.28 —
+    #   within noise of exact sym (1.60 / 4.70 / 1.83); the approximation
+    #   must KEEP tracking exact, hence same-headroom pins.
+    (
+        "sepsym",
+        CFG.replace(asw_separable=True),
+        {0: (0.024, 0.26), 1: (0.064, 0.55), 2: (0.027, 0.39)},
+    ),
+    (
+        "seplo",
+        CFG.replace(asw_separable=True, asw_symmetric=False),
+        {0: (0.027, 0.30), 1: (0.087, 0.93), 2: (0.032, 0.45)},
+    ),
 ]
 
 

@@ -65,6 +65,22 @@ def test_asw_aggregation_matches_oracle(small_pair, cfg):
     np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.parametrize(
+    "cfg",
+    [CFG_TAD.replace(asw_separable=True),
+     CFG_ASW_LEFT.replace(asw_separable=True)],
+    ids=["symmetric", "left_only"],
+)
+def test_asw_separable_matches_oracle(small_pair, cfg):
+    """The two-pass speed mode against ITS OWN literal-loop spec (it is an
+    approximation of exact ASW, so exact-ASW parity would be wrong here)."""
+    left, right = small_pair["left"], small_pair["right"]
+    v = oracle.cost_volume_ext(left, right, cfg, cfg.window_radius)
+    a_o = oracle.aggregate_asw_separable(v, left, right, cfg)
+    a_j = J(aggregate.aggregate_asw, cfg=cfg)(jnp.asarray(left), jnp.asarray(right))
+    np.testing.assert_allclose(np.asarray(a_j), a_o, rtol=2e-4, atol=2e-3)
+
+
 def test_wta_subpixel_match_oracle(small_pair):
     v = oracle.cost_volume(small_pair["left"], small_pair["right"], CFG_TAD)
     d_o = oracle.wta(v)
@@ -109,8 +125,10 @@ def test_fill_and_median_match_oracle(small_pair):
         CFG_TAD.replace(lr_check=False, fill_holes=False),
         CFG_TAD.replace(subpixel=False, median_filter=False),
         CFG_TAD.replace(aggregation="none"),
+        CFG_TAD.replace(asw_separable=True),
     ],
-    ids=["ad_box", "asw_full", "asw_nopost", "asw_nosubpix", "none_agg"],
+    ids=["ad_box", "asw_full", "asw_nopost", "asw_nosubpix", "none_agg",
+         "asw_separable"],
 )
 def test_full_pipeline_matches_oracle(small_pair, cfg):
     left, right = small_pair["left"], small_pair["right"]

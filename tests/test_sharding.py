@@ -319,3 +319,21 @@ def test_left_only_sharded_layouts_match_xlanes_exactly(pair96):
     )
     np.testing.assert_array_equal(out_b[0], ref_auto)
     np.testing.assert_array_equal(out_b[1], ref_auto)
+
+
+def test_separable_tiled_xtiled_dsharded_exact(pair96):
+    """The separable speed mode inherits all three sharded layouts through
+    aggregate_asw_from_stacks — tiled == untiled stays bit-exact."""
+    from aswstereomatch_tpu.parallel import dshard
+
+    cfg = CFG_FULL.replace(asw_separable=True)
+    left = jnp.asarray(pair96["left"])
+    right = jnp.asarray(pair96["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(left, right))
+    m4 = mesh_lib.build_mesh(data=1, tile=4)
+    m2 = mesh_lib.build_mesh(data=1, tile=2)  # x: D_max halo needs wide shards
+    for fn, m in ((tiling.match_pair_tiled, m4),
+                  (tiling.match_pair_tiled_x, m2),
+                  (dshard.match_pair_dsharded, m4)):
+        out = np.asarray(J(fn, cfg=cfg, device_mesh=m)(left, right))
+        np.testing.assert_array_equal(out, ref, err_msg=fn.__name__)
