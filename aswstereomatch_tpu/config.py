@@ -138,12 +138,6 @@ class StereoConfig:
             raise ValueError(f"unknown kernel_layout {self.kernel_layout!r}")
         if self.asw_separable and self.aggregation != "asw":
             raise ValueError("asw_separable requires aggregation='asw'")
-        if self.asw_separable and self.backend == "pallas":
-            # The fused kernels implement the exact O(K^2) window; a forced
-            # pallas backend would silently compute the wrong algorithm.
-            raise ValueError(
-                "asw_separable has no pallas kernel; use backend='auto'/'jnp'"
-            )
 
     # -- derived --------------------------------------------------------------
     @property

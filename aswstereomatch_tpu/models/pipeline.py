@@ -156,9 +156,10 @@ def match_pair_chunked(
 def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
     if cfg.backend != "auto":
         return cfg.backend
-    from ..ops.pallas import asw_kernel  # local import: optional path
+    from ..ops.pallas import asw_kernel, asw_sep_dlanes  # optional path
 
-    if not (asw_kernel.supports(cfg) and jax.default_backend() == "tpu"):
+    supported = asw_kernel.supports(cfg) or asw_sep_dlanes.supports(cfg)
+    if not (supported and jax.default_backend() == "tpu"):
         return "jnp"
     if cfg.aggregation == "box" and shape is not None:
         # The fused box kernel wins 12x at KITTI scale but loses to the
@@ -175,8 +176,19 @@ def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dic
     """Fused-kernel WTA outputs, picking the data layout per config: the
     disparity-in-lanes kernel for left-only ASW (2x; ops/pallas/asw_dlanes),
     x-in-lanes otherwise."""
-    from ..ops.pallas import asw_dlanes, asw_kernel, asw_sym_dlanes
+    from ..ops.pallas import asw_dlanes, asw_kernel, asw_sep_dlanes
+    from ..ops.pallas import asw_sym_dlanes
 
+    if asw_sep_dlanes.routed(cfg):
+        return asw_sep_dlanes.wta_outputs(left, right, cfg)
+    if cfg.asw_separable:
+        # Defensive: the exact kernels must never silently compute the
+        # separable config's window (supports()/routed() gate this; a
+        # forced-pallas unsupported geometry lands here).
+        raise ValueError(
+            "separable ASW at this geometry has no pallas kernel; use "
+            "backend='auto'/'jnp'"
+        )
     if asw_sym_dlanes.routed(cfg):
         return asw_sym_dlanes.wta_outputs(left, right, cfg)
     if asw_dlanes.routed(cfg):
@@ -242,9 +254,13 @@ def dlanes_routed(cfg: StereoConfig, pair_shape) -> bool:
     left-only lax.map 11.0 vs 11.5)."""
     if _resolve_backend(cfg, pair_shape) != "pallas":
         return False
-    from ..ops.pallas import asw_dlanes, asw_sym_dlanes
+    from ..ops.pallas import asw_dlanes, asw_sep_dlanes, asw_sym_dlanes
 
-    return asw_dlanes.routed(cfg) or asw_sym_dlanes.routed(cfg)
+    return (
+        asw_sep_dlanes.routed(cfg)
+        or asw_dlanes.routed(cfg)
+        or asw_sym_dlanes.routed(cfg)
+    )
 
 
 def match_batch(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:

@@ -104,6 +104,8 @@ def supports(cfg: StereoConfig) -> bool:
         return False
     if TILE_XS + cfg.window_size - 1 > XW:
         return False
+    if cfg.asw_separable:
+        return False  # separable ASW belongs to asw_sep_dlanes
     if cfg.aggregation == "box":
         return True
     return cfg.aggregation == "asw" and not cfg.asw_symmetric

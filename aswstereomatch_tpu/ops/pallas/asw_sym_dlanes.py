@@ -88,6 +88,7 @@ def supports(cfg: StereoConfig) -> bool:
     return (
         cfg.aggregation == "asw"
         and cfg.asw_symmetric
+        and not cfg.asw_separable
         and 2 <= cfg.max_disparity <= 128
         and cfg.window_size + TILE_XS - 1 < 128
     )

@@ -258,3 +258,86 @@ def test_dlanes_batch_matches_single():
         )
         np.testing.assert_array_equal(batch[0], single)
         np.testing.assert_array_equal(batch[1], single)
+
+
+# ---------------------------------------------------------------------------
+# Separable two-pass kernel (asw_sep_dlanes)
+# ---------------------------------------------------------------------------
+
+SEP = CFG.replace(asw_separable=True)
+
+
+@pytest.mark.parametrize(
+    "cfg,shape",
+    [
+        (SEP.replace(asw_symmetric=True), (24, 40)),
+        (SEP, (24, 40)),  # left-only
+        (SEP.replace(asw_symmetric=True, cost="ad"), (24, 40)),
+        # multiple tiles in both axes + non-divisible H and W
+        (SEP.replace(asw_symmetric=True), (21, 150)),
+        (SEP.replace(asw_symmetric=True, max_disparity=16, window_radius=3),
+         (20, 100)),
+        # D - 1 > TXS exercises the multi-neighbor right-partial combine
+        (SEP.replace(asw_symmetric=True, max_disparity=128), (16, 192)),
+    ],
+    ids=["sym", "leftonly", "ad_cost", "multitile_odd", "d16_r3",
+         "d128_multinb"],
+)
+def test_sep_dlanes_outputs_match_jnp_volume(cfg, shape):
+    from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
+
+    h, w = shape
+    pair = synthetic.make_pair(
+        height=h, width=w, max_disparity=cfg.max_disparity, seed=3
+    )
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+
+    outs = J(asw_sep_dlanes.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+
+    bd_ref = np.argmin(vol, -1)
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), bd_ref)
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+    volr = np.asarray(J(postprocess.right_volume)(jnp.asarray(vol)))
+    np.testing.assert_array_equal(
+        np.asarray(outs["rbestd"]), np.argmin(volr, -1)
+    )
+
+
+def test_sep_dlanes_pipeline_end_to_end_matches_jnp():
+    """Full pipeline (LR + fill + subpixel + median) through the kernel vs
+    the jnp separable path: subpixel-tolerance agreement."""
+    from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
+
+    cfg = SEP.replace(asw_symmetric=True, max_disparity=16, window_radius=3)
+    pair = synthetic.make_pair(height=37, width=101, max_disparity=16, seed=11)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    ref = np.asarray(J(pipeline.match_pair, cfg=cfg)(l, r))
+    outs = J(asw_sep_dlanes.wta_outputs, cfg=cfg)(l, r)
+    disp = np.asarray(pipeline._postprocess_from_wta(outs, cfg, l))
+    assert (np.abs(disp - ref) <= 0.51).mean() == 1.0
+
+
+def test_sep_dlanes_routing_rules():
+    from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
+
+    # opt-in (auto flips on after hardware validation): dlanes pin routes
+    assert not asw_sep_dlanes.routed(SEP)
+    assert asw_sep_dlanes.routed(SEP.replace(kernel_layout="dlanes"))
+    assert asw_sep_dlanes.routed(
+        SEP.replace(asw_symmetric=True, kernel_layout="dlanes")
+    )
+    # the exact kernels must refuse separable configs
+    assert not asw_dlanes.supports(SEP)
+    assert not asw_sym_dlanes.supports(SEP.replace(asw_symmetric=True))
+    # xlanes pin -> jnp handles separable
+    assert not asw_sep_dlanes.routed(SEP.replace(kernel_layout="xlanes"))
+    # unsupported geometry under an explicit dlanes pin raises
+    with pytest.raises(ValueError, match="separable|dlanes"):
+        asw_sep_dlanes.routed(
+            SEP.replace(kernel_layout="dlanes", max_disparity=256)
+        )
+    # non-separable configs never land here
+    assert not asw_sep_dlanes.routed(CFG)

@@ -68,6 +68,19 @@ def run_matrix(quick: bool = False) -> int:
         ),
         ("r1 D4", base.replace(window_radius=1, max_disparity=4), (24, 136)),
         ("r4 D16", base.replace(window_radius=4, max_disparity=16), (40, 160)),
+        # separable two-pass kernel (opt-in layout pin; both weight modes)
+        (
+            "sep_sym r2 D8",
+            base.replace(asw_separable=True, kernel_layout="dlanes"),
+            (32, 144),
+        ),
+        (
+            "sep_lo r4 D16",
+            base.replace(asw_separable=True, asw_symmetric=False,
+                         window_radius=4, max_disparity=16,
+                         kernel_layout="dlanes"),
+            (40, 160),
+        ),
     ]
     if quick:
         cases = cases[:3]
