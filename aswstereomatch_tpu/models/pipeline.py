@@ -158,7 +158,12 @@ def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
         return cfg.backend
     from ..ops.pallas import asw_kernel, asw_sep_dlanes  # optional path
 
-    supported = asw_kernel.supports(cfg) or asw_sep_dlanes.supports(cfg)
+    if cfg.asw_separable:
+        # The separable kernel is opt-in (explicit kernel_layout='dlanes')
+        # until hardware-validated; auto-resolved separable runs stay jnp.
+        supported = asw_sep_dlanes.routed(cfg)
+    else:
+        supported = asw_kernel.supports(cfg)
     if not (supported and jax.default_backend() == "tpu"):
         return "jnp"
     if cfg.aggregation == "box" and shape is not None:
@@ -179,15 +184,17 @@ def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dic
     from ..ops.pallas import asw_dlanes, asw_kernel, asw_sep_dlanes
     from ..ops.pallas import asw_sym_dlanes
 
-    if asw_sep_dlanes.routed(cfg):
-        return asw_sep_dlanes.wta_outputs(left, right, cfg)
     if cfg.asw_separable:
-        # Defensive: the exact kernels must never silently compute the
-        # separable config's window (supports()/routed() gate this; a
-        # forced-pallas unsupported geometry lands here).
+        # Reached via the opt-in dlanes pin (auto) or a forced
+        # backend='pallas' (an explicit user override of the opt-in gate).
+        # The exact kernels must never silently compute the separable
+        # config's window, so unsupported geometries raise here.
+        if asw_sep_dlanes.supports(cfg):
+            return asw_sep_dlanes.wta_outputs(left, right, cfg)
         raise ValueError(
-            "separable ASW at this geometry has no pallas kernel; use "
-            "backend='auto'/'jnp'"
+            "separable ASW at this geometry has no pallas kernel "
+            "(needs max_disparity in [2, 128] and window_size <= 65); "
+            "use backend='auto'/'jnp'"
         )
     if asw_sym_dlanes.routed(cfg):
         return asw_sym_dlanes.wta_outputs(left, right, cfg)

@@ -446,6 +446,13 @@ def wta_outputs_from_stacks(
     partial for columns [-(D-1), -1] plus the owned-region partial costs,
     for the caller's cross-shard strict-< merge (requires D - 1 <= TILE_X).
     """
+    if cfg.asw_separable:
+        # This kernel computes the exact O(K^2) window; silently running it
+        # for a separable config would diverge from the jnp/oracle paths.
+        raise ValueError(
+            "the exact x-lanes kernel does not implement separable ASW; "
+            "sharded separable runs use the jnp from_stacks path"
+        )
     H = ls_ext.shape[1]
     W = ls_ext.shape[2] - 2 * cfg.window_radius
     r = cfg.window_radius

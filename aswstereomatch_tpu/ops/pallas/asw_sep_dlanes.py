@@ -115,7 +115,7 @@ def _compute(
     ct,        # ref view (RT, XW, DL): cost window, d in lanes
     lcx,       # ref view (RT, TXU, 128): left Lab extended columns
     rrev,      # ref view (RT, 8, EW): right Lab rows, lane-REVERSED, -r roll
-    sw_ref,    # (8, 128) axial spatial factors sw_ref[0, o], zero-padded
+    sw_ref,    # (K8, 128) axial spatial factors sw_ref[o, :], zero rows > K
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref,  # (1, TXS|J8, TYO)
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,        # (TXS|J8, 128)
@@ -254,10 +254,13 @@ def _kernel_dma(ct_hbm, lcx_hbm, rrev_hbm, sw_ref, nv_ref, *rest, cfg, nx):
             lcx_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, TXU), :],
             lcx_sc, s1,
         ),
-        pltpu.make_async_copy(
-            rrev_hbm.at[ix, pl.ds(iy * TYO, RT)], rrev_sc, s2
-        ),
     ]
+    if cfg.asw_symmetric:  # left-only never reads the right-Lab rows
+        copies.append(
+            pltpu.make_async_copy(
+                rrev_hbm.at[ix, pl.ds(iy * TYO, RT)], rrev_sc, s2
+            )
+        )
     for c in copies:
         c.start()
     for c in copies:
@@ -298,24 +301,28 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     )
     lcx = jnp.pad(labx, ((0, 0), (0, 0), (0, 128 - 3)))
 
-    # Reversed right rows, identical to asw_sym_dlanes (only read when
-    # symmetric; the left-only branch never touches them, but the operand
-    # keeps one kernel signature for both modes).
-    lab_r = preprocess.rgb_to_lab(right)
-    labrp = jnp.pad(
-        lab_r,
-        ((r, ny * TYO - H + r), (255, (nx - 1) * TXS + 129 - W), (0, 0)),
-        mode="edge",
-    )
-    rrev = jnp.stack(
-        [
-            jnp.moveaxis(labrp[:, ix * TXS : ix * TXS + EW][:, ::-1], 2, 1)
-            for ix in range(nx)
-        ],
-        axis=0,
-    )
-    rrev = jnp.pad(rrev, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
-    rrev = jnp.roll(rrev, -r, axis=-1)
+    # Reversed right rows, identical to asw_sym_dlanes.  Only the symmetric
+    # mode reads them (static branch in _compute; the DMA path skips the
+    # copy too) — left-only keeps a minimal dummy so both modes share one
+    # kernel signature without building/moving ~EW*Hp*nx of dead data.
+    if cfg.asw_symmetric:
+        lab_r = preprocess.rgb_to_lab(right)
+        labrp = jnp.pad(
+            lab_r,
+            ((r, ny * TYO - H + r), (255, (nx - 1) * TXS + 129 - W), (0, 0)),
+            mode="edge",
+        )
+        rrev = jnp.stack(
+            [
+                jnp.moveaxis(labrp[:, ix * TXS : ix * TXS + EW][:, ::-1], 2, 1)
+                for ix in range(nx)
+            ],
+            axis=0,
+        )
+        rrev = jnp.pad(rrev, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
+        rrev = jnp.roll(rrev, -r, axis=-1)
+    else:
+        rrev = jnp.zeros((nx, 8, 8, EW), jnp.float32)
 
     interpret = asw_kernel._interpret()
     sw = _axial_sw_np(cfg)
@@ -333,13 +340,17 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
         lcxtiles = _extract_tiles_3d(lcx, ny, nx, TYO, TXS, RT, TXU)
 
-        def get_rows(t):
-            iy, ix = t // nx, t % nx
-            return lax.dynamic_slice(
-                rrev, (ix, iy * TYO, 0, 0), (1, RT, 8, EW)
-            )[0]
+        if cfg.asw_symmetric:
 
-        rrevtiles = jax.vmap(get_rows)(jnp.arange(T))
+            def get_rows(t):
+                iy, ix = t // nx, t % nx
+                return lax.dynamic_slice(
+                    rrev, (ix, iy * TYO, 0, 0), (1, RT, 8, EW)
+                )[0]
+
+            rrevtiles = jax.vmap(get_rows)(jnp.arange(T))
+        else:
+            rrevtiles = jnp.zeros((T, RT, 8, EW), jnp.float32)
         kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx)
         data_in = (ctiles, lcxtiles, rrevtiles)
         data_specs = [

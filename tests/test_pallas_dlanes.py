@@ -341,3 +341,56 @@ def test_sep_dlanes_routing_rules():
         )
     # non-separable configs never land here
     assert not asw_sep_dlanes.routed(CFG)
+
+
+def test_separable_backend_resolution_on_tpu(monkeypatch):
+    """Regression: with a TPU default backend, auto-resolved separable
+    configs must stay on jnp (the kernel is opt-in via the dlanes pin) —
+    supports() alone must not pull them onto pallas, where _kernel_wta
+    would raise on the unpinned config."""
+    with monkeypatch.context() as m:
+        # scoped: the same jax module backs _interpret(), which must see
+        # the real CPU backend when the kernels below execute
+        m.setattr(pipeline.jax, "default_backend", lambda: "tpu")
+        assert pipeline._resolve_backend(SEP) == "jnp"
+        assert (
+            pipeline._resolve_backend(SEP.replace(asw_symmetric=True))
+            == "jnp"
+        )
+        # the explicit pin (or a forced backend) opts in
+        assert (
+            pipeline._resolve_backend(SEP.replace(kernel_layout="dlanes"))
+            == "pallas"
+        )
+        assert (
+            pipeline._resolve_backend(SEP.replace(backend="pallas"))
+            == "pallas"
+        )
+        # non-separable auto-routing is unchanged
+        assert pipeline._resolve_backend(CFG) == "pallas"
+    # forced pallas at a supported geometry runs the separable kernel
+    pair = synthetic.make_pair(height=16, width=32, max_disparity=8, seed=0)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = pipeline._kernel_wta(l, r, SEP)
+    ref = pipeline._kernel_wta(l, r, SEP.replace(kernel_layout="dlanes"))
+    np.testing.assert_array_equal(
+        np.asarray(outs["bestd"]), np.asarray(ref["bestd"])
+    )
+    # ... and an unsupported geometry raises instead of computing the
+    # exact window
+    with pytest.raises(ValueError, match="separable"):
+        pipeline._kernel_wta(l, r, SEP.replace(max_disparity=256))
+
+
+def test_exact_xlanes_kernel_refuses_separable_stacks():
+    """The sharded paths feed asw_kernel.wta_outputs_from_stacks directly;
+    a separable config there must raise, never silently compute the exact
+    O(K^2) window."""
+    from aswstereomatch_tpu.ops import preprocess
+    from aswstereomatch_tpu.ops.pallas import asw_kernel
+
+    pair = synthetic.make_pair(height=16, width=32, max_disparity=8, seed=1)
+    ls = preprocess.channel_stack(jnp.asarray(pair["left"]))
+    rs = preprocess.channel_stack(jnp.asarray(pair["right"]))
+    with pytest.raises(ValueError, match="separable"):
+        asw_kernel.wta_outputs_from_stacks(ls, rs, SEP, 32)
