@@ -21,6 +21,14 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The axon PJRT plugin hooks backend discovery such that a JAX_PLATFORMS=cpu
+# env request can still touch (and, during a TPU-tunnel outage, block on)
+# the axon backend; the config-level setting is the reliable CPU escape.
+if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 
 def run(geoms, out_path):
     import cv2
@@ -58,6 +66,10 @@ def run(geoms, out_path):
                 max_disparity=D, cost="tad_grad", aggregation="asw",
                 window_radius=16, lr_check=True, fill_holes=True,
                 subpixel=True, median_filter=True)),
+            ("ours_asw_separable", StereoConfig(
+                max_disparity=D, cost="tad_grad", aggregation="asw",
+                window_radius=16, asw_separable=True, lr_check=True,
+                fill_holes=True, subpixel=True, median_filter=True)),
         ]:
             fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
             disp = fn(jnp.asarray(left), jnp.asarray(right))
