@@ -279,9 +279,15 @@ SEP = CFG.replace(asw_separable=True)
          (20, 100)),
         # D - 1 > TXS exercises the multi-neighbor right-partial combine
         (SEP.replace(asw_symmetric=True, max_disparity=128), (16, 192)),
+        # the flagship K=33 window (TXU=96) and the K=65 support boundary
+        # (TXU=128 — the strided-roll sublane limit)
+        (SEP.replace(asw_symmetric=True, max_disparity=16, window_radius=16),
+         (12, 80)),
+        (SEP.replace(asw_symmetric=True, max_disparity=16, window_radius=32),
+         (10, 70)),
     ],
     ids=["sym", "leftonly", "ad_cost", "multitile_odd", "d16_r3",
-         "d128_multinb"],
+         "d128_multinb", "k33_flagship", "k65_boundary"],
 )
 def test_sep_dlanes_outputs_match_jnp_volume(cfg, shape):
     from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
