@@ -51,12 +51,18 @@ def main():
         seed = args.seed0 + t
         rng = np.random.default_rng(seed)
         D = int(rng.choice([4, 8, 12, 16]))
+        agg = str(rng.choice(["asw", "asw", "box"]))
         cfg = StereoConfig(
             max_disparity=D,
             window_radius=int(rng.choice([1, 2, 3, 4])),
             cost=str(rng.choice(["ad", "tad_grad"])),
             asw_symmetric=bool(rng.choice([True, False])),
-            aggregation=str(rng.choice(["asw", "asw", "box"])),
+            aggregation=agg,
+            # separable speed mode (asw only); forced-pallas separable
+            # exercises the sep_dlanes kernel end to end
+            asw_separable=(
+                agg == "asw" and bool(rng.choice([True, False, False]))
+            ),
             gamma_color=float(rng.uniform(5, 30)),
             gamma_spatial=float(rng.uniform(5, 40)),
             alpha=float(rng.uniform(0.5, 1.0)),
@@ -74,7 +80,8 @@ def main():
         l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
         t0 = time.time()
         label = (f"seed={seed} {h}x{w} D={D} r={cfg.window_radius} "
-                 f"{cfg.aggregation}{'' if cfg.asw_symmetric else '/lo'} "
+                 f"{cfg.aggregation}{'' if cfg.asw_symmetric else '/lo'}"
+                 f"{'/sep' if cfg.asw_separable else ''} "
                  f"{cfg.cost} lr={cfg.lr_check} sub={cfg.subpixel} "
                  f"med={cfg.median_filter}/{cfg.median_mode}")
         try:
@@ -104,16 +111,25 @@ def main():
 
             if D % 4 == 0 and cfg.aggregation in ("asw", "box"):
                 m = mesh_lib.build_mesh(data=1, tile=4)
-                ref_x = np.asarray(
-                    J(pipeline.match_pair,
-                      cfg=cfg.replace(kernel_layout="xlanes"))(l, r)
-                )
-                d_d = np.asarray(
-                    J(dshard.match_pair_dsharded, cfg=cfg, device_mesh=m)(
-                        l, r
+                if cfg.asw_separable:
+                    # no separable x-lanes/d-shard kernel (forced-pallas
+                    # raises loudly, tested); fuzz the jnp d-shard route
+                    jcfg = cfg.replace(backend="jnp")
+                    d_d = np.asarray(
+                        J(dshard.match_pair_dsharded, cfg=jcfg,
+                          device_mesh=m)(l, r)
                     )
-                )
-                np.testing.assert_array_equal(d_d, ref_x)
+                    np.testing.assert_array_equal(d_d, d_jnp)
+                else:
+                    ref_x = np.asarray(
+                        J(pipeline.match_pair,
+                          cfg=cfg.replace(kernel_layout="xlanes"))(l, r)
+                    )
+                    d_d = np.asarray(
+                        J(dshard.match_pair_dsharded, cfg=cfg,
+                          device_mesh=m)(l, r)
+                    )
+                    np.testing.assert_array_equal(d_d, ref_x)
             print(f"[ok] {label} ({time.time()-t0:.1f}s)", flush=True)
         except Exception as e:  # noqa: BLE001
             failures += 1
