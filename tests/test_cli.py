@@ -29,6 +29,19 @@ def test_cli_synthetic_run(tmp_path, capsys):
     assert disp.shape == tuple(rec["shape"])
 
 
+def test_cli_separable_run(tmp_path):
+    out_json = tmp_path / "sep.json"
+    rc = run_cli([
+        "--synthetic", "tsukuba", "--max-disparity", "8",
+        "--aggregation", "asw", "--window-radius", "2", "--separable",
+        "--json", str(out_json),
+    ])
+    assert rc == 0
+    rec = json.loads(out_json.read_text())
+    assert rec["metrics"]["bad_2"] < 0.2
+    assert rec["config"]["asw_separable"] is True
+
+
 def test_cli_file_inputs(tmp_path):
     pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=1)
     lp, rp = str(tmp_path / "l.ppm"), str(tmp_path / "r.ppm")
