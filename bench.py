@@ -36,6 +36,12 @@ GEOM = {
         height=375, width=1242, max_disparity=128, window_radius=16,
         aggregation="box",
     ),
+    # Separable O(K) speed mode; kernel_layout honors the config default
+    # (jnp until asw_sep_dlanes is hardware-validated, then flip routed()).
+    "kitti_sep": dict(
+        height=375, width=1242, max_disparity=128, window_radius=16,
+        asw_separable=True, y_chunks=8,
+    ),
     "middlebury": dict(height=375, width=450, max_disparity=64, window_radius=16),
     "tsukuba": dict(height=288, width=384, max_disparity=16, window_radius=16),
 }
@@ -127,6 +133,7 @@ def _bench_setup(preset: str, backend: str):
         max_disparity=g["max_disparity"],
         cost="tad_grad",
         aggregation=g.get("aggregation", "asw"),
+        asw_separable=g.get("asw_separable", False),
         window_radius=g["window_radius"],
         lr_check=True,
         fill_holes=True,
@@ -213,6 +220,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
         f"D={g['max_disparity']}, {g.get('aggregation', 'asw').upper()} "
         f"{2*g['window_radius']+1}x{2*g['window_radius']+1}"
         f"{' symmetric' if g.get('aggregation', 'asw') == 'asw' else ''}"
+        f"{' separable' if g.get('asw_separable') else ''}"
         " + full postprocess; sustained queued throughput)",
         "value": round(rate, 4),
         "unit": "pairs/s/chip",
