@@ -188,13 +188,15 @@ def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dic
         # Reached via the opt-in dlanes pin (auto) or a forced
         # backend='pallas' (an explicit user override of the opt-in gate).
         # The exact kernels must never silently compute the separable
-        # config's window, so unsupported geometries raise here.
-        if asw_sep_dlanes.supports(cfg):
+        # config's window, so unsupported geometries — and an explicit
+        # xlanes pin, which names a kernel that doesn't exist for this
+        # mode — raise here.
+        if cfg.kernel_layout != "xlanes" and asw_sep_dlanes.supports(cfg):
             return asw_sep_dlanes.wta_outputs(left, right, cfg)
         raise ValueError(
-            "separable ASW at this geometry has no pallas kernel "
-            "(needs max_disparity in [2, 128] and window_size <= 65); "
-            "use backend='auto'/'jnp'"
+            "separable ASW has no xlanes kernel and requires "
+            "max_disparity in [2, 128] and window_size <= 65 "
+            "(kernel_layout 'auto'/'dlanes'); use backend='auto'/'jnp'"
         )
     if asw_sym_dlanes.routed(cfg):
         return asw_sym_dlanes.wta_outputs(left, right, cfg)

@@ -386,6 +386,10 @@ def test_separable_backend_resolution_on_tpu(monkeypatch):
     # exact window
     with pytest.raises(ValueError, match="separable"):
         pipeline._kernel_wta(l, r, SEP.replace(max_disparity=256))
+    # an explicit xlanes pin names a kernel that doesn't exist for this
+    # mode — raise, never silently serve the dlanes kernel
+    with pytest.raises(ValueError, match="xlanes"):
+        pipeline._kernel_wta(l, r, SEP.replace(kernel_layout="xlanes"))
 
 
 def test_exact_xlanes_kernel_refuses_separable_stacks():
