@@ -159,8 +159,8 @@ def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
     from ..ops.pallas import asw_kernel, asw_sep_dlanes  # optional path
 
     if cfg.asw_separable:
-        # The separable kernel is opt-in (explicit kernel_layout='dlanes')
-        # until hardware-validated; auto-resolved separable runs stay jnp.
+        # Hardware-validated (separable_ab.json): auto routes supported
+        # separable geometries onto the d-lanes kernel; jnp otherwise.
         supported = asw_sep_dlanes.routed(cfg)
     else:
         supported = asw_kernel.supports(cfg)

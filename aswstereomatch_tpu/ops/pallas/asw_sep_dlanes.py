@@ -89,11 +89,15 @@ def routed(cfg: StereoConfig) -> bool:
                 "max_disparity in [2, 128] and window_size <= 65"
             )
         return True
-    # Opt-in until hardware-validated (interpret mode does not enforce
-    # Mosaic's alignment/lowering constraints — see the verify skill's
-    # hardware gate); flip auto-routing on after the smoke matrix passes
-    # on a real chip.
-    return False
+    if cfg.kernel_layout == "xlanes":
+        # No xlanes kernel exists for this mode; jnp serves the config
+        # (an explicit backend='pallas' pin raises in _kernel_wta).
+        return False
+    # Auto: hardware-validated 2026-08-19 (tools/tpu_smoke.py separable
+    # rows PASS; bench_results/separable_ab.json: kernel 5.93 pairs/s vs
+    # jnp 0.99 at KITTI, argmin agreement 1.0 at 1/16 px) — route every
+    # supported geometry onto the kernel; unsupported ones fall to jnp.
+    return supports(cfg)
 
 
 def _axial_sw_np(cfg: StereoConfig) -> np.ndarray:

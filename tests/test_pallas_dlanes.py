@@ -329,12 +329,15 @@ def test_sep_dlanes_pipeline_end_to_end_matches_jnp():
 def test_sep_dlanes_routing_rules():
     from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
 
-    # opt-in (auto flips on after hardware validation): dlanes pin routes
-    assert not asw_sep_dlanes.routed(SEP)
+    # hardware-validated 2026-08-19: auto routes supported geometries
+    assert asw_sep_dlanes.routed(SEP)
+    assert asw_sep_dlanes.routed(SEP.replace(asw_symmetric=True))
     assert asw_sep_dlanes.routed(SEP.replace(kernel_layout="dlanes"))
     assert asw_sep_dlanes.routed(
         SEP.replace(asw_symmetric=True, kernel_layout="dlanes")
     )
+    # auto + unsupported geometry falls back to jnp instead of raising
+    assert not asw_sep_dlanes.routed(SEP.replace(max_disparity=256))
     # the exact kernels must refuse separable configs
     assert not asw_dlanes.supports(SEP)
     assert not asw_sym_dlanes.supports(SEP.replace(asw_symmetric=True))
@@ -350,23 +353,31 @@ def test_sep_dlanes_routing_rules():
 
 
 def test_separable_backend_resolution_on_tpu(monkeypatch):
-    """Regression: with a TPU default backend, auto-resolved separable
-    configs must stay on jnp (the kernel is opt-in via the dlanes pin) —
-    supports() alone must not pull them onto pallas, where _kernel_wta
-    would raise on the unpinned config."""
+    """With a TPU default backend, auto-resolved separable configs route
+    onto the d-lanes kernel (hardware-validated; separable_ab.json), fall
+    back to jnp outside its geometry envelope, and honor explicit pins."""
     with monkeypatch.context() as m:
         # scoped: the same jax module backs _interpret(), which must see
         # the real CPU backend when the kernels below execute
         m.setattr(pipeline.jax, "default_backend", lambda: "tpu")
-        assert pipeline._resolve_backend(SEP) == "jnp"
+        assert pipeline._resolve_backend(SEP) == "pallas"
         assert (
             pipeline._resolve_backend(SEP.replace(asw_symmetric=True))
+            == "pallas"
+        )
+        # outside the kernel envelope: jnp serves the config
+        assert (
+            pipeline._resolve_backend(SEP.replace(max_disparity=256))
             == "jnp"
         )
-        # the explicit pin (or a forced backend) opts in
+        # explicit pins still work
         assert (
             pipeline._resolve_backend(SEP.replace(kernel_layout="dlanes"))
             == "pallas"
+        )
+        assert (
+            pipeline._resolve_backend(SEP.replace(kernel_layout="xlanes"))
+            == "jnp"
         )
         assert (
             pipeline._resolve_backend(SEP.replace(backend="pallas"))
