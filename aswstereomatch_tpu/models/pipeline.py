@@ -185,8 +185,8 @@ def _kernel_wta(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> dic
     from ..ops.pallas import asw_sym_dlanes
 
     if cfg.asw_separable:
-        # Reached via the opt-in dlanes pin (auto) or a forced
-        # backend='pallas' (an explicit user override of the opt-in gate).
+        # Reached by auto routing (every supported separable geometry on
+        # TPU), the explicit dlanes pin, or a forced backend='pallas'.
         # The exact kernels must never silently compute the separable
         # config's window, so unsupported geometries — and an explicit
         # xlanes pin, which names a kernel that doesn't exist for this

@@ -30,8 +30,11 @@ import warnings
 
 import jax
 
-# Repo-level default cache dir (committed artifacts serve as prebuilt
-# binaries for the bench/CLI cold path; override with ASW_AOT_CACHE_DIR).
+# Repo-level default cache dir.  LOCAL-ONLY: artifacts are machine/device
+# bound and .gitignore'd (a KITTI executable is ~77 MB) — the cache is
+# populated by the first compile on a machine (or a `bench.py --warm-only`
+# pass) and serves every later process there.  Override with
+# ASW_AOT_CACHE_DIR.
 _DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     ".aotcache",
@@ -45,12 +48,27 @@ def cache_dir() -> str:
 _PKG_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-# Host-only modules, excluded from the source hash: they never run under
-# jax tracing, so they cannot influence a compiled executable, and hashing
-# them would strand every cached binary (a multi-minute Mosaic recompile)
-# on e.g. a lock-file tweak.  INVARIANT for anything listed here: no code
-# path in the module contributes to a traced/jitted computation.
-_HOST_ONLY_FILES = frozenset({"aotcache.py", "devlock.py", "manifest.py"})
+# Compute-relevant sources, ALLOWLISTED into the source hash: exactly the
+# modules whose code can appear inside a traced/jitted computation.  Every
+# other package file (utils/io.py, devlock.py, synthetic.py, evaluate.py,
+# this file, ...) is host-side; hashing those would strand every cached
+# binary — a multi-minute Mosaic recompile — on e.g. a lock-file tweak,
+# which is exactly what kept the round-2 driver bench on the cold-compile
+# path.  INVARIANT when adding a traced module outside these roots: add it
+# here, or a stale executable silently benches old code.
+_COMPUTE_DIRS = ("ops", "models", "parallel")
+_COMPUTE_FILES = ("config.py", os.path.join("utils", "colorspace.py"))
+
+
+def _hashed_paths() -> list:
+    paths = [os.path.join(_PKG_DIR, f) for f in _COMPUTE_FILES]
+    for d in _COMPUTE_DIRS:
+        for root, _, files in sorted(os.walk(os.path.join(_PKG_DIR, d))):
+            paths.extend(
+                os.path.join(root, f) for f in sorted(files)
+                if f.endswith(".py")
+            )
+    return paths
 
 
 def _compute_source_hash() -> str:
@@ -58,16 +76,12 @@ def _compute_source_hash() -> str:
     pipeline edit must invalidate cached executables, or a stale binary
     would silently bench old code."""
     h = hashlib.sha256()
-    for root, _, files in sorted(os.walk(_PKG_DIR)):
-        for f in sorted(files):
-            if f.endswith(".py") and f not in _HOST_ONLY_FILES:
-                p = os.path.join(root, f)
-                # Key on the package-relative path: committed cache
-                # artifacts must survive checkout relocation (content-only
-                # invalidation), or every clone pays the cold compile.
-                h.update(os.path.relpath(p, _PKG_DIR).encode())
-                with open(p, "rb") as fh:
-                    h.update(fh.read())
+    for p in _hashed_paths():
+        # Key on the package-relative path: cache artifacts must survive
+        # checkout relocation (content-only invalidation).
+        h.update(os.path.relpath(p, _PKG_DIR).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read())
     return h.hexdigest()[:16]
 
 

@@ -36,8 +36,8 @@ GEOM = {
         height=375, width=1242, max_disparity=128, window_radius=16,
         aggregation="box",
     ),
-    # Separable O(K) speed mode; kernel_layout honors the config default
-    # (jnp until asw_sep_dlanes is hardware-validated, then flip routed()).
+    # Separable O(K) speed mode; auto routes onto the hardware-validated
+    # asw_sep_dlanes kernel (bench_results/separable_ab.json).
     "kitti_sep": dict(
         height=375, width=1242, max_disparity=128, window_radius=16,
         asw_separable=True, y_chunks=8,

@@ -154,3 +154,32 @@ def test_aotcache_prune(tmp_path, monkeypatch):
             aotcache.prune()
     finally:
         del os.environ["ASW_AOT_CACHE_MAX_BYTES"]
+
+
+def test_aotcache_source_hash_allowlist():
+    """The source hash must (a) cover every compute-relevant module and
+    (b) ignore host-side edits — a docs/tools/utils-io tweak stranding a
+    cached multi-minute Mosaic executable is the round-2 failure mode
+    (VERDICT round-2 item 4)."""
+    from aswstereomatch_tpu.utils import aotcache
+
+    # Allowlisted anchors must exist on disk; a rename would silently
+    # drop them from the hash.
+    for f in aotcache._COMPUTE_FILES:
+        assert os.path.exists(os.path.join(aotcache._PKG_DIR, f)), f
+    for d in aotcache._COMPUTE_DIRS:
+        assert os.path.isdir(os.path.join(aotcache._PKG_DIR, d)), d
+    # Deterministic, and equal to the import-time pin when sources are
+    # unchanged (bench processes rely on this equality across runs).
+    h = aotcache._compute_source_hash()
+    assert h == aotcache._compute_source_hash() == aotcache._SOURCE_HASH
+    # Host-only modules stay out: verify by construction, not by edit —
+    # every hashed path lives under an allowlisted root.
+    allowed = tuple(
+        os.path.join(aotcache._PKG_DIR, d) + os.sep
+        for d in aotcache._COMPUTE_DIRS
+    )
+    anchored = {os.path.join(aotcache._PKG_DIR, f) for f in aotcache._COMPUTE_FILES}
+    for p in aotcache._hashed_paths():
+        assert p in anchored or p.startswith(allowed), p
+        assert "aotcache" not in os.path.basename(p)
