@@ -1,0 +1,153 @@
+"""KITTI-scale exact-vs-separable accuracy pin (the separable mode's
+production drift contract).
+
+The separable O(K) mode is an approximation of exact symmetric ASW; its
+shipping contract mirrors the north star's OpenCV-delta form
+(BASELINE.json: "<= 1% bad-2.0 delta vs reference") at KITTI geometry,
+measured round 3 as THREE bounds because the raw two-map delta is
+regime-dependent:
+
+  1. smooth scenes (synthetic.make_pair — the natural-image analog of the
+     north star's Middlebury/KITTI pairs): raw delta <= 1% bad-2.0.
+     Measured 0.05-0.08% across seeds.
+  2. adversarial hard scenes (make_hard_pair: sensor noise, textureless
+     patches, brightness mismatch): raw delta is 3-5% — but restricted to
+     pixels exact itself gets right (|exact - GT| <= 2), it is 0.5-0.7%.
+     The two maps disagree where the problem is ambiguous and exact is
+     wrong anyway; bound: delta-on-exact-correct <= 1%.
+  3. GT-accuracy parity on the hard regime: sep may cost at most 0.3pp
+     bad-2.0 vs exact (measured: within 0.11pp, sometimes better).
+
+Runs both pipelines on the TPU (exact jnp at KITTI takes > 9 min/pair on
+CPU — measured round 3 — so this record is produced on hardware and pinned
+by tests/test_accuracy_regression.py::test_separable_vs_exact_kitti_record,
+which asserts the committed JSON).  Re-run after any change to the
+separable kernel/oracle/routing and commit the refreshed record.
+
+Usage: python tools/pin_sep_accuracy.py [--seeds 0 1 2] [--geom kitti]
+Writes bench_results/sep_vs_exact_kitti.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    ap.add_argument("--geom", default="kitti")
+    ap.add_argument("--out", default="bench_results/sep_vs_exact_kitti.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aswstereomatch_tpu.config import StereoConfig
+    from aswstereomatch_tpu.utils import (
+        aotcache, devlock, evaluate, synthetic,
+    )
+
+    h, w, d = synthetic.GEOMETRIES[args.geom]
+    base = dict(
+        max_disparity=d, cost="tad_grad", aggregation="asw",
+        window_radius=16, lr_check=True, fill_holes=True, subpixel=True,
+        median_filter=True,
+    )
+    cfg_exact = StereoConfig(**base)
+    cfg_sep = StereoConfig(**base, asw_separable=True)
+
+    regimes = [
+        ("smooth", lambda s: synthetic.make_pair(
+            height=h, width=w, max_disparity=d, seed=s)),
+        ("hard", lambda s: synthetic.make_hard_pair(h, w, d, seed=s)),
+    ]
+    rows = []
+    with devlock.device_lock("pin_sep_accuracy", timeout_s=300):
+        for regime, mk in regimes:
+            for seed in args.seeds:
+                pair = mk(seed)
+                l = jnp.asarray(pair["left"])
+                r = jnp.asarray(pair["right"])
+                nonocc = ~pair["occluded"]
+                t0 = time.perf_counter()
+                fn_e, src_e = aotcache.cached_match_pair(cfg_exact, l, r)
+                fn_s, src_s = aotcache.cached_match_pair(cfg_sep, l, r)
+                de = np.asarray(fn_e(l, r))
+                ds = np.asarray(fn_s(l, r))
+                rep_e = evaluate.bad_report(de, pair["gt"], valid=nonocc)
+                rep_s = evaluate.bad_report(ds, pair["gt"], valid=nonocc)
+                exact_correct = nonocc & (np.abs(de - pair["gt"]) <= 2.0)
+                row = {
+                    "geometry": args.geom,
+                    "shape": [h, w, d],
+                    "regime": regime,
+                    "seed": seed,
+                    # North-star form: separable map vs exact map.
+                    "delta_bad2_vs_exact": round(
+                        evaluate.bad_delta_between(ds, de, 2.0, nonocc), 6
+                    ),
+                    # Same, restricted to pixels exact gets right — the
+                    # bound that matters on ambiguous content (see module
+                    # docstring).
+                    "delta_bad2_on_exact_correct": round(
+                        evaluate.bad_delta_between(ds, de, 2.0, exact_correct),
+                        6,
+                    ),
+                    # GT-accuracy cost of the approximation (negative =
+                    # separable is MORE accurate on this regime).
+                    "gt_bad2_cost": round(rep_s["bad_2"] - rep_e["bad_2"], 6),
+                    "exact_bad2_vs_gt": round(rep_e["bad_2"], 6),
+                    "sep_bad2_vs_gt": round(rep_s["bad_2"], 6),
+                    "exact_epe": round(rep_e["epe"], 5),
+                    "sep_epe": round(rep_s["epe"], 5),
+                    "wall_s": round(time.perf_counter() - t0, 2),
+                    "compile_source": [src_e, src_s],
+                }
+                rows.append(row)
+                print(json.dumps(row), flush=True)
+
+    record = {
+        "contract": (
+            "at KITTI geometry, >= 3 seeds each: (1) smooth scenes raw "
+            "separable-vs-exact delta <= 1% bad-2.0 (north-star form); "
+            "(2) hard adversarial scenes delta-on-exact-correct <= 1%; "
+            "(3) hard-scene GT-accuracy cost <= 0.3pp bad-2.0"
+        ),
+        "config_hash_exact": cfg_exact.config_hash(),
+        "config_hash_sep": cfg_sep.config_hash(),
+        "device": str(jax.devices()[0]),
+        "rows": rows,
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), args.out
+    )
+    with open(out, "w") as f:
+        json.dump(record, f, indent=2)
+    print("wrote", out)
+    w1 = max(
+        r["delta_bad2_vs_exact"] for r in rows if r["regime"] == "smooth"
+    )
+    w2 = max(
+        r["delta_bad2_on_exact_correct"] for r in rows
+        if r["regime"] == "hard"
+    )
+    w3 = max(r["gt_bad2_cost"] for r in rows if r["regime"] == "hard")
+    ok = w1 <= 0.01 and w2 <= 0.01 and w3 <= 0.003
+    print(
+        f"smooth raw delta {w1:.4%} (<=1%) | hard on-exact-correct "
+        f"{w2:.4%} (<=1%) | hard GT cost {w3 * 100:.3f}pp (<=0.3pp) "
+        f"=> {'PASS' if ok else 'FAIL'}"
+    )
+
+
+if __name__ == "__main__":
+    main()
