@@ -15,16 +15,42 @@ Why this layout wins here: with d in lanes, the d-coupled right factor of
 each pass is ONE per-sublane strided lane roll (the Hankel trick from
 asw_sym_dlanes) per window offset — K rolls per pass-row instead of the
 exact symmetric kernel's K^2 — and every weight build is a small
-elementwise column/row op (same-column vertical diffs need no shuffles at
-all).  Per output row the inner work is ~2K rolls + ~6K FMAs vs the exact
-symmetric kernel's ~K^2 (roll + 2 FMA): ~10x less shuffle-network traffic,
-the resource both d-lanes symmetric kernels are bound by.
+elementwise column/row op.
+
+Round-3 restructure (full-lane weight builds): the round-2 version built
+each left column weight as a (S, 1) exp/sqrt chain — 1/128 lane
+utilization — and tools/ablate_sep_kernel.py measured those builds at
+**32% of kernel time** (vertical 12%, horizontal 20%; the symmetric-only
+Hankel+ehr machinery is just 5%).  Both passes now build ALL K tap
+weights for an output row in one full-width plane:
+
+  - vertical: a transposed Lab operand lyt[c] (x in sublanes, IMAGE ROW in
+    lanes) is lane-rolled by y once per output row; lane dy then holds the
+    row-(y+dy) Lab column, so one exp over (TXU, 128) yields
+    cwv[u, dy] = w_color(row y+dy, row y+r) for every dy at once.  The
+    per-tap (TXU, 1) weight is a dynamic lane slice (asw_kernel's
+    _lane_window roll) instead of a 10-op exp chain.
+  - horizontal: a lane-REVERSED center-row Lab operand lrev (the left-image
+    analog of rrev) turns the tap structure cwh[s, dx] = f(lab[s + dx])
+    into ONE per-sublane strided roll (tap[s, j] = vrev[j - s] =
+    lab_ext[127 - j + s]; column j = 127 - dx is tap dx for every s), so
+    one exp over (TXS, 128) yields all K horizontal weights.  TXS + K <=
+    129 keeps the roll wrap-free — exactly the supports() bound.
+
+The axial spatial factors fold into the planes as per-LANE constant rows
+(swl), preserving the round-2 product order (colw * sw) bit-for-bit.
+This also deletes the old lcx operand ((RT, TXU, 128) with 3 useful
+lanes — 2.25 MB of ~97%-waste DMA per tile); lyt + lrev together move
+~0.4 MB per tile.
 
 Coordinates (shared with asw_dlanes/asw_sym_dlanes):
   - tile origin x0; output x = x0 + s, s in [0, TXS);
-  - cost/Lab window sublane u covers x = x0 - r + u, u in [0, TXU);
+  - cost window sublane u covers x = x0 - r + u, u in [0, TXU);
   - rrev rows are lane-REVERSED right Lab, pre-rolled by -r:
     rrev[y][c, j] = LabR(y, x0 + 128 - r - j)  (virtual padded plane);
+  - lrev rows are lane-REVERSED left Lab: lrev[y][c, j] =
+    LabL(y, x0 - r + 127 - j);
+  - lyt[c][u, j] = LabL(j - r, x0 - r + u)  (image rows in lanes);
   - both Hankel rolls use shift 128 (mod-128 residue 0), so the Mosaic
     strided-roll bound is sublanes-1 < 128: TXU = TXS + 2r <= 128.
 
@@ -70,7 +96,8 @@ def _txu(cfg: StereoConfig) -> int:
 def supports(cfg: StereoConfig) -> bool:
     """Separable ASW (either weight mode) with D <= 128 and the extended
     column extent within one lane vreg (TXS + 2r <= 128, i.e. K <= 65 —
-    the strided-roll sublane bound AND the cost-window width)."""
+    the strided-roll sublane bound AND the cost-window width; it also
+    keeps the horizontal weight-plane roll wrap-free: TXS + K <= 129)."""
     return (
         cfg.aggregation == "asw"
         and cfg.asw_separable
@@ -100,26 +127,35 @@ def routed(cfg: StereoConfig) -> bool:
     return supports(cfg)
 
 
-def _axial_sw_np(cfg: StereoConfig) -> np.ndarray:
-    """Per-pass spatial factors as full lane rows (the dynamic-sublane-row
-    read pattern asw_sym_dlanes uses on hardware): out[o, :] =
-    exp(-|o - r| / gamma_p)^(2 if symmetric else 1), zero rows beyond K."""
+def _swl_np(cfg: StereoConfig) -> np.ndarray:
+    """Axial spatial factors as per-LANE constants, (8, 128):
+
+      row 0: swl[0, dy]       = sw[dy]       for dy < K, else 0
+             (multiplies cwv, whose lane dy is the vertical tap dy)
+      row 1: swl[1, 127 - dx] = sw[dx]       for dx < K, else 0
+             (multiplies cwh, whose lane 127 - dx is the horizontal tap)
+
+    sw[o] = exp(-|o - r| / gamma_p), squared in symmetric mode — identical
+    values to the round-2 row constants, relocated into lanes."""
     r = cfg.window_radius
     K = cfg.window_size
     o = np.abs(np.arange(-r, r + 1)).astype(np.float64)
     sw = np.exp(-o / cfg.gamma_spatial)
     if cfg.asw_symmetric:
         sw = sw * sw
-    out = np.zeros((_ru8(K), 128), np.float32)
-    out[:K, :] = sw.astype(np.float32)[:, None]
+    sw = sw.astype(np.float32)
+    out = np.zeros((8, 128), np.float32)
+    out[0, :K] = sw
+    out[1, 127 - np.arange(K)] = sw
     return out
 
 
 def _compute(
     ct,        # ref view (RT, XW, DL): cost window, d in lanes
-    lcx,       # ref view (RT, TXU, 128): left Lab extended columns
+    lyt,       # ref view (3, TXU, 128): left Lab, image rows in LANES
+    lrev,      # ref view (RT, 8, 128): left Lab rows, lane-REVERSED
     rrev,      # ref view (RT, 8, EW): right Lab rows, lane-REVERSED, -r roll
-    sw_ref,    # (K8, 128) axial spatial factors sw_ref[o, :], zero rows > K
+    swl_ref,   # (8, 128) per-lane axial spatial factors (_swl_np)
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref,  # (1, TXS|J8, TYO)
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,        # (TXS|J8, 128)
@@ -132,22 +168,15 @@ def _compute(
     D = cfg.max_disparity
     sym = cfg.asw_symmetric
     TYO, TXS = TILE_YO, TILE_XS
-    TXU = lcx.shape[1]
+    TXU = lyt.shape[1]
     DL = 128
+    LY = lyt.shape[2]
     K8 = _ru8(K)
     inv_gc = np.float32(1.0 / cfg.gamma_color)
 
     t = pl.program_id(0)
     x0 = (t % nx) * TXS
     n_valid = nv_ref[0, 0]
-
-    def _col_w(rows_a, rows_b):
-        """exp(-||Lab_a - Lab_b|| / gc) per sublane -> (S, 1)."""
-        d2 = None
-        for c in range(3):
-            diff = rows_a[:, c : c + 1] - rows_b[:, c : c + 1]
-            d2 = diff * diff if d2 is None else d2 + diff * diff
-        return jnp.exp(-jnp.sqrt(d2) * inv_gc)
 
     def _hankel(row, sublanes):
         """(1, MW) lane-reversed row -> (sublanes, DL) plane
@@ -158,15 +187,42 @@ def _compute(
         return pltpu.roll(b, 128, 1, stride=1, stride_axis=0)[:, :DL]
 
     def y_body(y, _):
-        lrow_c = lcx[y + r]                  # (TXU, 128) center Lab columns
-        rrow_c = rrev[y + r] if sym else None  # (8, EW) center right row
+        # ---- full-lane left weight planes for this output row ------------
+        # cwv[u, dy] = exp(-||LabL(y+dy, u) - LabL(y+r, u)|| / gc) * sw[dy]:
+        # roll the transposed Lab once so lane j holds image row y + j,
+        # then ONE exp covers every vertical tap (ablation: the old per-tap
+        # (TXU, 1) chains were 12% of kernel time).
+        shift = lax.rem(jnp.int32(LY) - y, jnp.int32(LY))
+        d2v = None
+        ctrcols = []
+        for c in range(3):
+            tc = pltpu.roll(lyt[c], shift, axis=1)  # lane j = image row y+j
+            ctr = tc[:, r : r + 1]                  # (TXU, 1) center row Lab
+            ctrcols.append(ctr)
+            diff = tc - ctr
+            d2v = diff * diff if d2v is None else d2v + diff * diff
+        cwv = jnp.exp(-jnp.sqrt(d2v) * inv_gc) * swl_ref[0:1, :]
+
+        # cwh[s, 127 - dx] = exp(-||LabL(y+r, x0+s+dx-r) - LabL(y+r, x0+s)||
+        # / gc) * sw[dx]: one strided roll of the lane-reversed center row
+        # gives tap[s, j] = lab_ext[127 - j + s]; j = 127 - dx is tap dx
+        # for every output column s (wrap-free: TXS + K <= 129).
+        vrow = lrev[y + r]                          # (8, 128)
+        d2h = None
+        for c in range(3):
+            b = jnp.broadcast_to(vrow[c : c + 1, :], (TXS, 128))
+            tap = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+            dh = tap - ctrcols[c][r : r + TXS, :]
+            d2h = dh * dh if d2h is None else d2h + dh * dh
+        cwh = jnp.exp(-jnp.sqrt(d2h) * inv_gc) * swl_ref[1:2, :]
+
+        rrow_c = rrev[y + r] if sym else None       # (8, EW) center right row
 
         # ---- vertical pass: numv/denv over the extended columns ----------
         def dy_body(dy, carry):
             numv, denv = carry
-            # (TXU, 1) * (128,) spatial row -> (TXU, DL) weight plane
-            wvl = _col_w(lrow_c, lcx[y + dy]) * sw_ref[dy]
-            crow = ct[y + dy][:TXU, :]                        # (TXU, DL)
+            wvl = asw_kernel._lane_window(cwv, dy, 1)  # (TXU, 1)
+            crow = ct[y + dy][:TXU, :]                 # (TXU, DL)
             if sym:
                 rtap = rrev[y + dy]
                 e2 = None
@@ -179,7 +235,7 @@ def _compute(
                 # row[(d + 128 - s)] = ev at xr = x0 - r + s - d. exact.
                 wv = wvl * _hankel(ev[:, :MW], TXU)           # (TXU, DL)
             else:
-                wv = wvl
+                wv = jnp.broadcast_to(wvl, (TXU, DL))
             numv = numv + wv * crow
             denv = denv + wv
             return (numv, denv)
@@ -207,11 +263,10 @@ def _compute(
             ehr = jnp.exp(-jnp.sqrt(e2) * inv_gc)             # (K8, EW)
 
         # ---- horizontal pass: K taps of numv/denv -------------------------
-        lrow_out = lrow_c[r : r + TXS, :]      # center Lab at the outputs
         num = jnp.zeros((TXS, DL), jnp.float32)
         den = jnp.zeros((TXS, DL), jnp.float32)
         for dx in range(K):
-            wh = _col_w(lrow_out, lrow_c[dx : dx + TXS, :]) * sw_ref[dx]
+            wh = cwh[:, 127 - dx : 128 - dx]                  # (TXS, 1)
             if sym:
                 wh = wh * _hankel(ehr[dx : dx + 1, :MW], TXS)
             num = num + wh * numv[dx : dx + TXS, :]
@@ -233,20 +288,22 @@ def _compute(
     rd_ref[0] = rd_sc[:, :TYO]
 
 
-def _kernel_blocked(ct_ref, lcx_ref, rrev_ref, *rest, cfg, nx):
+def _kernel_blocked(ct_ref, lyt_ref, lrev_ref, rrev_ref, *rest, cfg, nx):
     """Interpret/test path: overlapping windows pre-materialized as blocks."""
     _compute(
-        ct_ref.at[0], lcx_ref.at[0], rrev_ref.at[0], *rest, cfg=cfg, nx=nx
+        ct_ref.at[0], lyt_ref.at[0], lrev_ref.at[0], rrev_ref.at[0],
+        *rest, cfg=cfg, nx=nx,
     )
 
 
-def _kernel_dma(ct_hbm, lcx_hbm, rrev_hbm, sw_ref, nv_ref, *rest, cfg, nx):
+def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
+                cfg, nx):
     """Hardware path: planes stay untiled in HBM; each grid step DMAs its
     overlapping window into VMEM scratch (same scheme as asw_dlanes)."""
-    outs, dma, scr = rest[:6], rest[6:12], rest[12:]
-    ct_sc, lcx_sc, rrev_sc, s0, s1, s2 = dma
+    outs, dma, scr = rest[:6], rest[6:14], rest[14:]
+    ct_sc, lyt_sc, lrev_sc, rrev_sc, s0, s1, s2, s3 = dma
     TYO, TXS = TILE_YO, TILE_XS
-    TXU = lcx_sc.shape[1]
+    TXU = lyt_sc.shape[1]
     RT = ct_sc.shape[0]
     t = pl.program_id(0)
     iy, ix = t // nx, t % nx
@@ -255,21 +312,26 @@ def _kernel_dma(ct_hbm, lcx_hbm, rrev_hbm, sw_ref, nv_ref, *rest, cfg, nx):
             ct_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, XW), :], ct_sc, s0
         ),
         pltpu.make_async_copy(
-            lcx_hbm.at[pl.ds(iy * TYO, RT), pl.ds(ix * TXS, TXU), :],
-            lcx_sc, s1,
+            lyt_hbm.at[iy, :, pl.ds(ix * TXS, TXU), :], lyt_sc, s1
+        ),
+        pltpu.make_async_copy(
+            lrev_hbm.at[ix, pl.ds(iy * TYO, RT)], lrev_sc, s2
         ),
     ]
     if cfg.asw_symmetric:  # left-only never reads the right-Lab rows
         copies.append(
             pltpu.make_async_copy(
-                rrev_hbm.at[ix, pl.ds(iy * TYO, RT)], rrev_sc, s2
+                rrev_hbm.at[ix, pl.ds(iy * TYO, RT)], rrev_sc, s3
             )
         )
     for c in copies:
         c.start()
     for c in copies:
         c.wait()
-    _compute(ct_sc, lcx_sc, rrev_sc, sw_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
+    _compute(
+        ct_sc, lyt_sc, lrev_sc, rrev_sc, swl_ref, nv_ref, *outs, *scr,
+        cfg=cfg, nx=nx,
+    )
 
 
 def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
@@ -295,15 +357,34 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
 
     vol = _padded_volume(left, right, cfg, H, W, ny, nx)
 
-    # Left Lab on the extended columns, x in SUBLANES (lanes 0..2 = c):
-    # lcx[y, ix*TXS + u] = LabL(y - r, x0 - r + u) on the virtual plane.
+    # Left Lab on the virtual padded plane:
+    # labx[y, ix*TXS + u] = LabL(y - r, x0 - r + u); padded wide enough for
+    # the 128-lane lrev slices ((nx-1)*TXS + 128 columns).
     lab_l = preprocess.rgb_to_lab(left)
     labx = jnp.pad(
         lab_l,
-        ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + TXU - r - W), (0, 0)),
+        ((r, ny * TYO - H + r), (r, (nx - 1) * TXS + 128 - r - W), (0, 0)),
         mode="edge",
     )
-    lcx = jnp.pad(labx, ((0, 0), (0, 0), (0, 128 - 3)))
+    Hp = labx.shape[0]
+    # lyt: image rows in LANES, pre-tiled per y-band — (ny, 3, Wx, 128)
+    # with [iy, c, x, j] = labx[iy*TYO + j, x, c] (row index clamped to the
+    # padded plane).  Pre-tiling keeps the DMA lane window 128-aligned
+    # (Mosaic rejects lane-dim slices at non-128-multiple offsets); lanes
+    # past RT-1 are edge clones and never read.
+    rows = jnp.clip(
+        jnp.arange(ny)[:, None] * TYO + jnp.arange(128)[None, :], 0, Hp - 1
+    )
+    lyt = jnp.transpose(labx[rows], (0, 3, 2, 1))
+    # lrev: lane-reversed left Lab rows per x-tile, channels in sublanes.
+    lrev = jnp.stack(
+        [
+            jnp.moveaxis(labx[:, ix * TXS : ix * TXS + 128][:, ::-1], 2, 1)
+            for ix in range(nx)
+        ],
+        axis=0,
+    )
+    lrev = jnp.pad(lrev, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
 
     # Reversed right rows, identical to asw_sym_dlanes.  Only the symmetric
     # mode reads them (static branch in _compute; the DMA path skips the
@@ -329,8 +410,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         rrev = jnp.zeros((nx, 8, 8, EW), jnp.float32)
 
     interpret = asw_kernel._interpret()
-    sw = _axial_sw_np(cfg)
-    K8 = sw.shape[0]
+    swl = _swl_np(cfg)
 
     compute_scratch = [
         pltpu.VMEM((TXS, 128), jnp.float32),
@@ -342,28 +422,42 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     ]
     if interpret:
         ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
-        lcxtiles = _extract_tiles_3d(lcx, ny, nx, TYO, TXS, RT, TXU)
 
-        if cfg.asw_symmetric:
+        def get_lyt(t):
+            iy, ix = t // nx, t % nx
+            return lax.dynamic_slice(
+                lyt, (iy, 0, ix * TXS, 0), (1, 3, TXU, 128)
+            )[0]
 
-            def get_rows(t):
+        lyttiles = jax.vmap(get_lyt)(jnp.arange(T))
+
+        def get_rows(src):
+            def f(t):
                 iy, ix = t // nx, t % nx
                 return lax.dynamic_slice(
-                    rrev, (ix, iy * TYO, 0, 0), (1, RT, 8, EW)
+                    src, (ix, iy * TYO, 0, 0), (1, RT, 8, src.shape[-1])
                 )[0]
 
-            rrevtiles = jax.vmap(get_rows)(jnp.arange(T))
+            return jax.vmap(f)(jnp.arange(T))
+
+        lrevtiles = get_rows(lrev)
+        if cfg.asw_symmetric:
+            rrevtiles = get_rows(rrev)
         else:
             rrevtiles = jnp.zeros((T, RT, 8, EW), jnp.float32)
         kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx)
-        data_in = (ctiles, lcxtiles, rrevtiles)
+        data_in = (ctiles, lyttiles, lrevtiles, rrevtiles)
         data_specs = [
             pl.BlockSpec(
                 (1, RT, XW, DL), lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, RT, TXU, 128), lambda t: (t, 0, 0, 0),
+                (1, 3, TXU, 128), lambda t: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, RT, 8, 128), lambda t: (t, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -374,12 +468,14 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         scratch = compute_scratch
     else:
         kern = functools.partial(_kernel_dma, cfg=cfg, nx=nx)
-        data_in = (vol, lcx, rrev)
-        data_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 3
+        data_in = (vol, lyt, lrev, rrev)
+        data_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
         scratch = [
             pltpu.VMEM((RT, XW, DL), jnp.float32),
-            pltpu.VMEM((RT, TXU, 128), jnp.float32),
+            pltpu.VMEM((3, TXU, 128), jnp.float32),
+            pltpu.VMEM((RT, 8, 128), jnp.float32),
             pltpu.VMEM((RT, 8, EW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
@@ -394,7 +490,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
     ]
     in_specs = data_specs + [
-        pl.BlockSpec((K8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
     ]
     out_specs = [
@@ -419,12 +515,12 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         ),
         cost_estimate=pl.CostEstimate(
             flops=T * TYO * K * (4 * TXU + 6 * TXS) * DL,
-            bytes_accessed=T * (RT * XW * DL + RT * TXU * 128) * 4,
-            transcendentals=T * TYO * (K * (TXU + TXS + EW) + _ru8(K) * EW),
+            bytes_accessed=T * (RT * XW * DL + 3 * TXU * 128) * 4,
+            transcendentals=T * TYO * (2 * TXU + TXS + K * EW + _ru8(K) * EW),
         ),
     )(
         *data_in,
-        jnp.asarray(sw),
+        jnp.asarray(swl),
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 
