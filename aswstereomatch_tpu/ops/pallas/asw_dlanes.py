@@ -336,18 +336,21 @@ def _kernel_dma(
     _compute(ct2, lc_sc, lx_sc, swb_ref, nv_ref, *outs, *scr, cfg=cfg, nx=nx)
 
 
-def _padded_volume(left, right, cfg, H, W, ny, nx):
+def _padded_volume(left, right, cfg, H, W, ny, nx, tyo=None, txs=None):
     """d-lanes cost volume (ny*TYO + 2r, (nx-1)*TXS + XW, 128): rows/cols
     edge-padded to the tile grid, d padded to the 128-lane vreg with BIG.
-    Shared by the left-only and symmetric d-lanes kernels."""
+    Shared by the left-only, symmetric, and separable d-lanes kernels
+    (the separable kernel passes its adaptive tile width via ``txs``)."""
     r = cfg.window_radius
     D = cfg.max_disparity
+    tyo = TILE_YO if tyo is None else tyo
+    txs = TILE_XS if txs is None else txs
     vol = cost_lib.cost_volume(left, right, cfg, x_extend=r)  # (H, W+2r, D)
     vol = jnp.pad(
         vol,
         (
-            (r, ny * TILE_YO - H + r),
-            (0, (nx - 1) * TILE_XS + XW - (W + 2 * r)),
+            (r, ny * tyo - H + r),
+            (0, (nx - 1) * txs + XW - (W + 2 * r)),
             (0, 0),
         ),
         mode="edge",
@@ -382,11 +385,13 @@ def _left_lab_planes(lab, cfg, H, W, ny, nx):
     return lc, jnp.pad(lxw, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
 
 
-def _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D):
+def _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D,
+                      tyo=None, txs=None):
     """Column-major per-tile WTA outputs -> the wta_outputs dict (bestd /
     bestc / cm / cp / rbestd), including the cross-tile right-view merge."""
     J8 = rc.shape[1]
-    TYO, TXS = TILE_YO, TILE_XS
+    TYO = TILE_YO if tyo is None else tyo
+    TXS = TILE_XS if txs is None else txs
 
     def untile(a):  # (T, S, TYO) column-major -> (ny*TYO, nx*S) row-major
         s = a.shape[1]

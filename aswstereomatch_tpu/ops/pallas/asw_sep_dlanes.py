@@ -88,21 +88,31 @@ from .asw_dlanes import (
 from .asw_sym_dlanes import EW, MW
 
 
+def _tile_xs(cfg: StereoConfig) -> int:
+    """Adaptive output-tile width: the widest 8-multiple with
+    TXS + 2r <= 128 (the strided-roll sublane bound, the cost-window
+    width, AND the horizontal weight-plane wrap bound TXS + K <= 129 —
+    all three coincide).  Wider tiles cut the vertical pass's TXU/TXS
+    read amplification (1.5 -> 1.33 at r=16) and the tile count: measured
+    -16.7% kernel time at KITTI (tools/ablate_sep_kernel.py geom96,
+    bit-identical argmin).  r=16 -> 96, r=32 -> 64 (the round-2 width)."""
+    return (128 - 2 * cfg.window_radius) // 8 * 8
+
+
 def _txu(cfg: StereoConfig) -> int:
     """Vertical-pass sublane extent: centers for every horizontal tap."""
-    return _ru8(TILE_XS + 2 * cfg.window_radius)
+    return _ru8(_tile_xs(cfg) + 2 * cfg.window_radius)
 
 
 def supports(cfg: StereoConfig) -> bool:
-    """Separable ASW (either weight mode) with D <= 128 and the extended
-    column extent within one lane vreg (TXS + 2r <= 128, i.e. K <= 65 —
-    the strided-roll sublane bound AND the cost-window width; it also
-    keeps the horizontal weight-plane roll wrap-free: TXS + K <= 129)."""
+    """Separable ASW (either weight mode) with D <= 128 and a viable
+    adaptive tile (>= 64 wide, i.e. r <= 32 / K <= 65 — the same bound
+    the round-2 fixed TXS=64 enforced)."""
     return (
         cfg.aggregation == "asw"
         and cfg.asw_separable
         and 2 <= cfg.max_disparity <= 128
-        and TILE_XS + 2 * cfg.window_radius <= min(XW, 128)
+        and _tile_xs(cfg) >= 64
     )
 
 
@@ -162,12 +172,13 @@ def _compute(
     *,
     cfg: StereoConfig,
     nx: int,
+    txs: int,
 ):
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
     sym = cfg.asw_symmetric
-    TYO, TXS = TILE_YO, TILE_XS
+    TYO, TXS = TILE_YO, txs
     TXU = lyt.shape[1]
     DL = 128
     LY = lyt.shape[2]
@@ -288,21 +299,22 @@ def _compute(
     rd_ref[0] = rd_sc[:, :TYO]
 
 
-def _kernel_blocked(ct_ref, lyt_ref, lrev_ref, rrev_ref, *rest, cfg, nx):
+def _kernel_blocked(ct_ref, lyt_ref, lrev_ref, rrev_ref, *rest, cfg, nx,
+                    txs):
     """Interpret/test path: overlapping windows pre-materialized as blocks."""
     _compute(
         ct_ref.at[0], lyt_ref.at[0], lrev_ref.at[0], rrev_ref.at[0],
-        *rest, cfg=cfg, nx=nx,
+        *rest, cfg=cfg, nx=nx, txs=txs,
     )
 
 
 def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
-                cfg, nx):
+                cfg, nx, txs):
     """Hardware path: planes stay untiled in HBM; each grid step DMAs its
     overlapping window into VMEM scratch (same scheme as asw_dlanes)."""
     outs, dma, scr = rest[:6], rest[6:14], rest[14:]
     ct_sc, lyt_sc, lrev_sc, rrev_sc, s0, s1, s2, s3 = dma
-    TYO, TXS = TILE_YO, TILE_XS
+    TYO, TXS = TILE_YO, txs
     TXU = lyt_sc.shape[1]
     RT = ct_sc.shape[0]
     t = pl.program_id(0)
@@ -330,7 +342,7 @@ def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
         c.wait()
     _compute(
         ct_sc, lyt_sc, lrev_sc, rrev_sc, swl_ref, nv_ref, *outs, *scr,
-        cfg=cfg, nx=nx,
+        cfg=cfg, nx=nx, txs=txs,
     )
 
 
@@ -346,7 +358,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     K = cfg.window_size
     D = cfg.max_disparity
     H, W = left.shape[:2]
-    TYO, TXS = TILE_YO, TILE_XS
+    TYO, TXS = TILE_YO, _tile_xs(cfg)
     TXU = _txu(cfg)
     RT = TYO + 2 * r
     DL = 128
@@ -355,7 +367,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     nx = math.ceil(W / TXS)
     T = ny * nx
 
-    vol = _padded_volume(left, right, cfg, H, W, ny, nx)
+    vol = _padded_volume(left, right, cfg, H, W, ny, nx, TYO, TXS)
 
     # Left Lab on the virtual padded plane:
     # labx[y, ix*TXS + u] = LabL(y - r, x0 - r + u); padded wide enough for
@@ -445,7 +457,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
             rrevtiles = get_rows(rrev)
         else:
             rrevtiles = jnp.zeros((T, RT, 8, EW), jnp.float32)
-        kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx)
+        kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx, txs=TXS)
         data_in = (ctiles, lyttiles, lrevtiles, rrevtiles)
         data_specs = [
             pl.BlockSpec(
@@ -467,7 +479,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         ]
         scratch = compute_scratch
     else:
-        kern = functools.partial(_kernel_dma, cfg=cfg, nx=nx)
+        kern = functools.partial(_kernel_dma, cfg=cfg, nx=nx, txs=TXS)
         data_in = (vol, lyt, lrev, rrev)
         data_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
         scratch = [
@@ -524,4 +536,5 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 
-    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D)
+    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D,
+                             TYO, TXS)

@@ -18,10 +18,10 @@ of work (results become wrong — this measures cost shares):
 
 Exact restructures (numerically identical; argmin-agreement checked):
 
-  geom96    : TILE_XS=96 (TXU=128 — full sublane utilization; 13 x-tiles
-              instead of 20 at KITTI width)
-  geom_y32  : TILE_YO=32 (halves the DMA halo re-read: RT/TYO 3 -> 2)
-  geom96y32 : both
+  geom64    : pin TILE_XS=64 (the round-2 fixed width; the shipped kernel
+              adapts to (128 - 2r)//8*8 = 96 at r=16 — measured -16.7%)
+  geom_y32  : TILE_YO=32 (halves the DMA halo re-read: RT/TYO 3 -> 2;
+              measured flat)
 
 Round-2 kernel shares measured with the pre-restructure version of this
 tool (KITTI, baseline 0.1533 s): per-tap (S, 1) column-weight exp chains
@@ -56,14 +56,14 @@ from aswstereomatch_tpu.utils import synthetic
 
 def make_compute(mode: str):
     def _compute(ct, lyt, lrev, rrev, swl_ref, nv_ref, *outs_scratch,
-                 cfg, nx):
+                 cfg, nx, txs):
         bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref = outs_scratch[:6]
         bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc = outs_scratch[6:]
         r = cfg.window_radius
         K = 2 * r + 1
         D = cfg.max_disparity
         sym = cfg.asw_symmetric and mode != "nosym"
-        TYO, TXS = ASD.TILE_YO, ASD.TILE_XS
+        TYO, TXS = ASD.TILE_YO, txs
         TXU = lyt.shape[1]
         DL = 128
         LY = lyt.shape[2]
@@ -105,7 +105,13 @@ def make_compute(mode: str):
                     d2h = dh * dh if d2h is None else d2h + dh * dh
                 cwh = jnp.exp(-jnp.sqrt(d2h) * inv_gc) * swl_ref[1:2, :]
             else:
-                cwh = jnp.broadcast_to(swl_ref[1:2, :], (TXS, 128))
+                # derive from real data: a pure-constant plane folds the
+                # later (TXS, 1) lane slice into a (1,1)->full broadcast,
+                # which Mosaic can't lower
+                cwh = (
+                    ctrcols[0][r : r + TXS, :] * np.float32(0.0)
+                    + swl_ref[1:2, :]
+                )
 
             rrow_c = rrev[y + r] if sym else None
 
@@ -194,25 +200,22 @@ def make_compute(mode: str):
     return _compute
 
 
-GEOM = {  # suffix -> (TILE_XS, TILE_YO)
-    "geom96": (96, ASD.TILE_YO),
-    "geom_y32": (ASD.TILE_XS, 32),
-    "geom96y32": (96, 32),
+GEOM = {  # suffix -> (tile_xs override or None, TILE_YO)
+    "geom64": (64, ASD.TILE_YO),   # the round-2 fixed width, for reference
+    "geom_y32": (None, 32),
 }
 
 
 def run(variant: str, left, right, cfg):
     orig_compute = ASD._compute
-    orig_xs, orig_yo = ASD.TILE_XS, ASD.TILE_YO
-    orig_ad = AD.TILE_XS, AD.TILE_YO
+    orig_tile_xs, orig_yo = ASD._tile_xs, ASD.TILE_YO
     try:
         accum_mode = variant
         for suffix, (txs, tyo) in GEOM.items():
             if variant.endswith(suffix):
-                # _padded_volume/_assemble_outputs (asw_dlanes) read their
-                # own module globals; patch both namespaces coherently.
-                ASD.TILE_XS, ASD.TILE_YO = txs, tyo
-                AD.TILE_XS, AD.TILE_YO = txs, tyo
+                if txs is not None:
+                    ASD._tile_xs = lambda cfg, _t=txs: _t
+                ASD.TILE_YO = tyo
                 accum_mode = variant[: -len(suffix)].rstrip("_") or "baseline"
         if accum_mode != "baseline":
             ASD._compute = make_compute(accum_mode)
@@ -231,14 +234,13 @@ def run(variant: str, left, right, cfg):
         return min(times), compile_s, np.asarray(out["bestd"])
     finally:
         ASD._compute = orig_compute
-        ASD.TILE_XS, ASD.TILE_YO = orig_xs, orig_yo
-        AD.TILE_XS, AD.TILE_YO = orig_ad
+        ASD._tile_xs, ASD.TILE_YO = orig_tile_xs, orig_yo
 
 
 def main():
     variants = sys.argv[1:] or [
         "baseline", "nocolw_v", "nocolw_h", "nocolw", "noroll_v", "nosym",
-        "noehr", "nowta", "geom96", "geom_y32", "geom96y32",
+        "noehr", "nowta", "geom64", "geom_y32",
     ]
     cfg = StereoConfig(
         max_disparity=128, cost="tad_grad", aggregation="asw",
@@ -251,7 +253,7 @@ def main():
     right = jnp.asarray(pair["right"])
     base = float(os.environ["ABLATE_BASE_S"]) if "ABLATE_BASE_S" in os.environ else None
     base_d = None
-    exact_modes = ("baseline", "geom96", "geom_y32", "geom96y32")
+    exact_modes = ("baseline", "geom64", "geom_y32")
     for v in variants:
         best, comp, bestd = run(v, left, right, cfg)
         if v == "baseline":
