@@ -35,13 +35,29 @@ def right_volume(vol: jnp.ndarray) -> jnp.ndarray:
 def lr_check(
     disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig
 ) -> jnp.ndarray:
-    """Validity mask per the pinned spec.  Inputs are (H, W) float or int."""
+    """Validity mask per the pinned spec.  Inputs are (H, W) float or int.
+
+    The gather ``dispR[x - round(dispL)]`` is data-dependent along lanes,
+    which XLA:TPU serializes (measured 14.7 ms of LR+fill epilogue at KITTI
+    — tools/profile_stages.py round 3).  Since ``round(dispL)`` is bounded
+    by D, the gather is instead a D-step select over statically shifted
+    planes (exact: pure selection, no arithmetic change), compiled as one
+    fori over a (H, W+D) padded plane."""
     h, w = disp_l.shape
+    D = cfg.max_disparity
     dl = disp_l.astype(jnp.float32)
-    xr = jnp.arange(w)[None, :] - jnp.round(dl).astype(jnp.int32)
+    dli = jnp.round(dl).astype(jnp.int32)
+    xr = jnp.arange(w)[None, :] - dli
     in_range = (xr >= 0) & (xr < w)
-    xr_c = jnp.clip(xr, 0, w - 1)
-    dr = jnp.take_along_axis(disp_r.astype(jnp.float32), xr_c, axis=1)
+    # drp[:, D - d : D - d + w][y, x] = dispR[y, x - d] (left-padded; the
+    # pad value is never selected: x - d < 0 implies in_range is False).
+    drp = jnp.pad(disp_r.astype(jnp.float32), ((0, 0), (D, 0)))
+
+    def body(d, acc):
+        sel = lax.dynamic_slice(drp, (0, D - d), (h, w))
+        return jnp.where(dli == d, sel, acc)
+
+    dr = lax.fori_loop(0, D, body, jnp.zeros((h, w), jnp.float32))
     return in_range & (jnp.abs(dl - dr) <= cfg.lr_tol)
 
 
@@ -49,26 +65,32 @@ def fill_holes(disp: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     """Invalid pixels take min(nearest valid left, nearest valid right).
 
     Per-row; one-sided at row edges; rows with no valid pixel fill with 0.
-    """
-    h, w = disp.shape
-    x = jnp.arange(w)[None, :]
+
+    Formulated as log-depth associative "last valid VALUE" scans instead
+    of cummax-of-index + take_along_axis: the index gathers are
+    data-dependent along lanes, which XLA:TPU serializes (round-3 stage
+    ladder).  Pure selection — values are bit-identical to the gather
+    form and the NumPy oracle."""
+    dispf = disp.astype(jnp.float32)
     big = jnp.float32(jnp.inf)
 
-    # Index of nearest valid pixel at or to the left (-1 if none).
-    li = lax.cummax(jnp.where(valid, x, -1), axis=1)
-    # Nearest valid at or to the right (w if none): same trick on the
-    # x-reversed mask, then map reversed indices back.
-    li_rev = lax.cummax(jnp.where(valid[:, ::-1], x, -1), axis=1)
-    ri = (w - 1) - li_rev[:, ::-1]  # "none" (-1) maps to w
+    def last_valid(vals, mask):
+        def combine(a, b):
+            av, am = a
+            bv, bm = b
+            return jnp.where(bm, bv, av), am | bm
 
-    dl = jnp.take_along_axis(disp.astype(jnp.float32), jnp.clip(li, 0, w - 1), axis=1)
-    dl = jnp.where(li >= 0, dl, big)
-    dr = jnp.take_along_axis(disp.astype(jnp.float32), jnp.clip(ri, 0, w - 1), axis=1)
-    dr = jnp.where(ri <= w - 1, dr, big)
+        return lax.associative_scan(combine, (vals, mask), axis=1)
 
-    fill = jnp.minimum(dl, dr)
+    dl, has_l = last_valid(dispf, valid)
+    dr_rev, has_r_rev = last_valid(dispf[:, ::-1], valid[:, ::-1])
+    dr, has_r = dr_rev[:, ::-1], has_r_rev[:, ::-1]
+
+    fill = jnp.minimum(
+        jnp.where(has_l, dl, big), jnp.where(has_r, dr, big)
+    )
     fill = jnp.where(jnp.isinf(fill), 0.0, fill)
-    return jnp.where(valid, disp.astype(jnp.float32), fill)
+    return jnp.where(valid, dispf, fill)
 
 
 def median3(disp: jnp.ndarray) -> jnp.ndarray:
@@ -93,6 +115,16 @@ def weighted_median3(
     weight reaches half the total — the standard occlusion-edge-preserving
     refinement of the plain median (reference capability: SURVEY.md section
     2.1 "Median/weighted-median filter").
+
+    Sort-free formulation: argsort + take_along_axis over the 9-tap axis
+    cost ~109 ms/pair at KITTI on TPU (round-3 stage ladder — lane-gather
+    serialization again).  Instead each tap's cumulative-in-sorted-order
+    weight is computed directly as a masked sum — cum_i = sum_j w_j over
+    {(v_j, j) <= (v_i, i) lexicographically} — and the answer is the
+    smallest qualifying value.  Pure selection over the same weights
+    (summation order differs from the sorted cumsum, so exact ties can
+    flip within f32 ulps — the same tolerance the oracle-parity test
+    already grants the old form vs the f64 oracle).
     """
     import numpy as np
 
@@ -113,17 +145,26 @@ def weighted_median3(
                 np.hypot(dy - 1, dx - 1) / cfg.gamma_spatial
             )
             wgts.append(jnp.exp(-dlab / cfg.gamma_color - sp))
-    v = jnp.stack(vals, axis=-1)  # (H, W, 9)
-    g = jnp.stack(wgts, axis=-1)
-    order = jnp.argsort(v, axis=-1, stable=True)
-    v_s = jnp.take_along_axis(v, order, axis=-1)
-    g_s = jnp.take_along_axis(g, order, axis=-1)
-    cum = jnp.cumsum(g_s, axis=-1)
-    half = cum[..., -1:] * 0.5
-    k = jnp.argmax(cum >= half, axis=-1)
-    return jnp.take_along_axis(v_s, k[..., None], axis=-1)[..., 0].astype(
-        jnp.float32
-    )
+    cums = []
+    for i in range(9):
+        c = None
+        for j in range(9):
+            # stable order: ties (v_j == v_i) count only for j <= i
+            sel = vals[j] <= vals[i] if j <= i else vals[j] < vals[i]
+            t = jnp.where(sel, wgts[j], 0.0)
+            c = t if c is None else c + t
+        cums.append(c)
+    # The lexicographically-maximal tap's cum is the full j-order sum, so
+    # using max(cums) as the total guarantees at least one tap qualifies.
+    import functools
+
+    half = 0.5 * functools.reduce(jnp.maximum, cums)
+    out = jnp.full((h, w), jnp.inf, jnp.float32)
+    for i in range(9):
+        out = jnp.where(
+            cums[i] >= half, jnp.minimum(out, vals[i]), out
+        )
+    return out.astype(jnp.float32)
 
 
 def median_filter(

@@ -13,7 +13,8 @@ between rungs are the stage costs.  Motivation: at symmetric speed
 (11-24 pairs/s, 40-90 ms/pair) a few ms of epilogue is a measurable share —
 this tool decides whether optimizing it is worth anything.
 
-Usage: python tools/profile_stages.py [--geometry kitti] [--left-only] [--box]
+Usage: python tools/profile_stages.py [--geometry kitti] [--left-only]
+       [--box] [--separable]
 Emits one JSON line per rung plus a summary attribution.
 """
 
@@ -42,6 +43,7 @@ def main():
     ap.add_argument("--geometry", default="kitti", choices=sorted(GEOMS))
     ap.add_argument("--left-only", action="store_true")
     ap.add_argument("--box", action="store_true")
+    ap.add_argument("--separable", action="store_true")
     ap.add_argument("--queue", type=int, default=8)
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the jax platform (the axon plugin ignores "
@@ -80,6 +82,7 @@ def _run(args, jnp, StereoConfig, aotcache, synthetic):
         aggregation="box" if args.box else "asw",
         window_radius=r_win,
         asw_symmetric=not args.left_only,
+        asw_separable=args.separable,
     )
     ladder = [
         ("wta_only", dict(lr_check=False, fill_holes=False, subpixel=False,
@@ -125,7 +128,8 @@ def _run(args, jnp, StereoConfig, aotcache, synthetic):
     print(json.dumps({
         "geometry": args.geometry,
         "mode": ("box" if args.box else
-                 "left_only" if args.left_only else "symmetric"),
+                 "left_only" if args.left_only else "symmetric")
+        + ("+separable" if args.separable else ""),
         "epilogue_share_pct": round(
             100 * (full["s_per_pair"] - rows[0]["s_per_pair"])
             / full["s_per_pair"], 2),
