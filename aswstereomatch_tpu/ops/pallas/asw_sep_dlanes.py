@@ -131,9 +131,13 @@ def routed(cfg: StereoConfig) -> bool:
         # (an explicit backend='pallas' pin raises in _kernel_wta).
         return False
     # Auto: hardware-validated 2026-08-19 (tools/tpu_smoke.py separable
-    # rows PASS; bench_results/separable_ab.json: kernel 5.93 pairs/s vs
-    # jnp 0.99 at KITTI, argmin agreement 1.0 at 1/16 px) — route every
-    # supported geometry onto the kernel; unsupported ones fall to jnp.
+    # rows PASS; bench_results/separable_ab.json round 3: kernel 11.6
+    # pairs/s queued vs jnp 1.01 at KITTI, 30.1 vs 5.8 at venus, argmin
+    # agreement 1.0 at 1/16 px) — route every supported geometry onto the
+    # kernel; unsupported ones fall to jnp.  No small-problem fallback
+    # (unlike the box path's work threshold): at tsukuba — the smallest
+    # BASELINE geometry, 384x288 D=16 — the kernel still wins 50.2 vs the
+    # jnp path's 29.4 queued (separable_ab_tsukuba.json).
     return supports(cfg)
 
 
