@@ -245,6 +245,23 @@ PRESETS = {
         mesh_data=2,
         mesh_tile=4,
     ),
+    # Production speed mode (round 3): separable symmetric ASW at KITTI
+    # geometry — the bench headline.  Accuracy-contracted vs exact ASW
+    # three ways at KITTI scale (tests/test_accuracy_regression.py;
+    # bench_results/sep_vs_exact_kitti.json): 13.2 vs 2.12 pairs/s queued
+    # on one v5e chip.
+    "kitti_sep": StereoConfig(
+        max_disparity=128,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        asw_separable=True,
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+        mesh_tile=4,
+    ),
 }
 
 

@@ -81,6 +81,22 @@ def run_matrix(quick: bool = False) -> int:
                          kernel_layout="dlanes"),
             (40, 160),
         ),
+        # adaptive-tile-width corners (round 3: TXS = (128-2r)//8*8):
+        # r=24 -> TXS=80 (a non-power-of-two width), r=32 -> TXS=64 (the
+        # minimum supported width, K=65).  Interpret tests don't enforce
+        # Mosaic alignment, so these widths must run on hardware.
+        (
+            "sep_sym r24 D32 (TXS=80)",
+            base.replace(asw_separable=True, window_radius=24,
+                         max_disparity=32, kernel_layout="dlanes"),
+            (80, 200),
+        ),
+        (
+            "sep_sym r32 D32 (TXS=64)",
+            base.replace(asw_separable=True, window_radius=32,
+                         max_disparity=32, kernel_layout="dlanes"),
+            (80, 200),
+        ),
     ]
     if quick:
         cases = cases[:3]
