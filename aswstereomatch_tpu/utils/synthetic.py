@@ -263,6 +263,12 @@ GEOMETRIES = {
 }
 
 
+# Same-geometry dataset names get distinct scene content (teddy/cones share
+# venus's 450x375 D=64 geometry but must not be the identical image pair).
+_SCENE_SEED_OFFSET = {"teddy": 1009, "cones": 2003}
+
+
 def make_dataset_pair(name: str, seed: int = 0, **kw) -> Dict[str, np.ndarray]:
     h, w, d = GEOMETRIES[name.lower()]
+    seed = seed + _SCENE_SEED_OFFSET.get(name.lower(), 0)
     return make_pair(height=h, width=w, max_disparity=d, seed=seed, **kw)

@@ -28,6 +28,8 @@ RUNS = [
     ("tsukuba_ad_box", "tsukuba", "config 1: AD + fixed window"),
     ("middlebury_asw", "venus", "config 2: TAD+grad, ASW 33x33"),
     ("middlebury_asw_full", "venus", "config 3: + LR/fill/subpixel/median"),
+    ("middlebury_asw_full", "teddy", "config 3 on the teddy-class scene"),
+    ("middlebury_asw_full", "cones", "config 3 on the cones-class scene"),
     ("kitti_tiled", "kitti",
      "config 4: tiled path validated on virtual mesh; timed unsharded here"),
     ("kitti_batch", "kitti",
