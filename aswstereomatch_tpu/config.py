@@ -181,6 +181,15 @@ class StereoConfig:
 #   Tsukuba 384x288 D=16; Venus/Teddy/Cones 450x375 D=64; KITTI 1242x375 D=128.
 # ---------------------------------------------------------------------------
 
+# Separable-mode accuracy contract vs exact ASW at production (KITTI)
+# geometry — the single source for both the measurement tool
+# (tools/pin_sep_accuracy.py) and the pinned test
+# (tests/test_accuracy_regression.py), so the two can never drift apart:
+#   delta_bad2_max: smooth-scene raw separable-vs-exact bad-2.0 delta AND
+#                   hard-scene delta restricted to exact-correct pixels;
+#   gt_bad2_cost_max: hard-scene GT-accuracy cost (sep - exact bad-2.0).
+SEP_CONTRACT = {"delta_bad2_max": 0.01, "gt_bad2_cost_max": 0.003}
+
 PRESETS = {
     # BASELINE config 1: "Tsukuba (384x288, D=16), AD cost + fixed-window
     # aggregation - CPU-runnable PR1 ref"

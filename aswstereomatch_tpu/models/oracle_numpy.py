@@ -252,13 +252,21 @@ def right_volume(vol: np.ndarray) -> np.ndarray:
 
 
 def lr_check(disp_l: np.ndarray, disp_r: np.ndarray, cfg: StereoConfig) -> np.ndarray:
-    """Validity mask: |dL(x) - dR(x - round(dL(x)))| <= lr_tol, x-d in range."""
+    """Validity mask: |dL(x) - dR(x - round(dL(x)))| <= lr_tol, x-d in range.
+
+    Disparities outside [0, D) are invalid by definition (the WTA stage
+    only produces [0, D); a value outside it has no matching candidate in
+    the searched range) — pinned so the jnp implementation's bounded-D
+    select form agrees on every input, not just WTA outputs."""
     h, w = disp_l.shape
     valid = np.zeros((h, w), bool)
     for y in range(h):
         for x in range(w):
             d = float(disp_l[y, x])
-            xr = x - int(round(d))
+            di = int(round(d))
+            if di < 0 or di >= cfg.max_disparity:
+                continue
+            xr = x - di
             if xr < 0 or xr >= w:
                 continue
             if abs(d - float(disp_r[y, xr])) <= cfg.lr_tol:

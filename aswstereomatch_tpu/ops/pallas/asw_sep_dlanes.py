@@ -94,8 +94,9 @@ def _tile_xs(cfg: StereoConfig) -> int:
     width, AND the horizontal weight-plane wrap bound TXS + K <= 129 —
     all three coincide).  Wider tiles cut the vertical pass's TXU/TXS
     read amplification (1.5 -> 1.33 at r=16) and the tile count: measured
-    -16.7% kernel time at KITTI (tools/ablate_sep_kernel.py geom96,
-    bit-identical argmin).  r=16 -> 96, r=32 -> 64 (the round-2 width)."""
+    -16.7% kernel time at KITTI, bit-identical argmin (reproduce the
+    inverse with tools/ablate_sep_kernel.py geom64, which pins the old
+    fixed width).  r=16 -> 96, r=32 -> 64 (the round-2 width)."""
     return (128 - 2 * cfg.window_radius) // 8 * 8
 
 

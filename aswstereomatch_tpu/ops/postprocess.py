@@ -35,12 +35,15 @@ def right_volume(vol: jnp.ndarray) -> jnp.ndarray:
 def lr_check(
     disp_l: jnp.ndarray, disp_r: jnp.ndarray, cfg: StereoConfig
 ) -> jnp.ndarray:
-    """Validity mask per the pinned spec.  Inputs are (H, W) float or int.
+    """Validity mask per the pinned spec.  Inputs are (H, W) float or int;
+    disparities outside [0, D) are invalid by definition (mirrors the
+    NumPy oracle — WTA only produces [0, D), and a value outside the
+    searched range has no matching candidate).
 
     The gather ``dispR[x - round(dispL)]`` is data-dependent along lanes,
     which XLA:TPU serializes (measured 14.7 ms of LR+fill epilogue at KITTI
-    — tools/profile_stages.py round 3).  Since ``round(dispL)`` is bounded
-    by D, the gather is instead a D-step select over statically shifted
+    — tools/profile_stages.py round 3).  With ``round(dispL)`` bounded by
+    D, the gather is instead a D-step select over statically shifted
     planes (exact: pure selection, no arithmetic change), compiled as one
     fori over a (H, W+D) padded plane."""
     h, w = disp_l.shape
@@ -48,7 +51,7 @@ def lr_check(
     dl = disp_l.astype(jnp.float32)
     dli = jnp.round(dl).astype(jnp.int32)
     xr = jnp.arange(w)[None, :] - dli
-    in_range = (xr >= 0) & (xr < w)
+    in_range = (xr >= 0) & (xr < w) & (dli >= 0) & (dli < D)
     # drp[:, D - d : D - d + w][y, x] = dispR[y, x - d] (left-padded; the
     # pad value is never selected: x - d < 0 implies in_range is False).
     drp = jnp.pad(disp_r.astype(jnp.float32), ((0, 0), (D, 0)))

@@ -130,8 +130,12 @@ def test_slanted_plane_subpixel_quality():
 #     are re-derived at test time: a config-surface change invalidates the
 #     record and fails the test until the pin is re-run on hardware.
 
-SEP_DELTA_BOUND = 0.01
-SEP_GT_COST_BOUND = 0.003
+# Single-source bounds shared with the measurement tool
+# (tools/pin_sep_accuracy.py) via config.SEP_CONTRACT.
+from aswstereomatch_tpu.config import SEP_CONTRACT
+
+SEP_DELTA_BOUND = SEP_CONTRACT["delta_bad2_max"]
+SEP_GT_COST_BOUND = SEP_CONTRACT["gt_bad2_cost_max"]
 
 
 @pytest.mark.parametrize("symmetric", [True, False], ids=["sym", "leftonly"])

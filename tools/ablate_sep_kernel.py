@@ -54,7 +54,17 @@ from aswstereomatch_tpu.ops.pallas.asw_sym_dlanes import EW, MW
 from aswstereomatch_tpu.utils import synthetic
 
 
+_MODES = frozenset({
+    "nocolw_v", "nocolw_h", "nocolw", "noroll_v", "nosym", "noehr", "nowta",
+})
+
+
 def make_compute(mode: str):
+    if mode not in _MODES:
+        # an unknown mode would silently measure the baseline kernel under
+        # a wrong label (every removal flag reads as enabled)
+        raise ValueError(f"unknown ablation mode {mode!r}; one of {sorted(_MODES)}")
+
     def _compute(ct, lyt, lrev, rrev, swl_ref, nv_ref, *outs_scratch,
                  cfg, nx, txs):
         bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref = outs_scratch[:6]

@@ -133,6 +133,11 @@ def main():
     with open(out, "w") as f:
         json.dump(record, f, indent=2)
     print("wrote", out)
+    # Single-source bounds shared with tests/test_accuracy_regression.py.
+    from aswstereomatch_tpu.config import SEP_CONTRACT
+
+    b_delta = SEP_CONTRACT["delta_bad2_max"]
+    b_cost = SEP_CONTRACT["gt_bad2_cost_max"]
     w1 = max(
         r["delta_bad2_vs_exact"] for r in rows if r["regime"] == "smooth"
     )
@@ -141,10 +146,11 @@ def main():
         if r["regime"] == "hard"
     )
     w3 = max(r["gt_bad2_cost"] for r in rows if r["regime"] == "hard")
-    ok = w1 <= 0.01 and w2 <= 0.01 and w3 <= 0.003
+    ok = w1 <= b_delta and w2 <= b_delta and w3 <= b_cost
     print(
-        f"smooth raw delta {w1:.4%} (<=1%) | hard on-exact-correct "
-        f"{w2:.4%} (<=1%) | hard GT cost {w3 * 100:.3f}pp (<=0.3pp) "
+        f"smooth raw delta {w1:.4%} (<={b_delta:.0%}) | hard "
+        f"on-exact-correct {w2:.4%} (<={b_delta:.0%}) | hard GT cost "
+        f"{w3 * 100:.3f}pp (<={b_cost * 100:.1f}pp) "
         f"=> {'PASS' if ok else 'FAIL'}"
     )
 

@@ -49,6 +49,10 @@ def main():
                     help="force the jax platform (the axon plugin ignores "
                          "JAX_PLATFORMS env vars)")
     args = ap.parse_args()
+    if args.box and args.separable:
+        ap.error("--separable applies to ASW only; with --box the pipeline "
+                 "would silently fall to the jnp path and the stage "
+                 "attribution would be mislabeled")
 
     import contextlib
 

@@ -92,7 +92,7 @@ def main():
             continue
         agree = float(np.mean(np.abs(d_pal - d_jnp) <= 0.51))
         gross = float(np.mean(np.abs(d_pal - d_jnp) > 2.0))
-        ok = backend == "jnp" or (agree > 0.99 and gross < 0.005)
+        ok = agree > 0.99 and gross < 0.005
         tag = "ok " if ok else "FAIL"
         print(
             f"[{t}] {tag} {backend:6s} r={r} D={D} {cfg.aggregation}"
