@@ -178,6 +178,7 @@ def _compute(
     cfg: StereoConfig,
     nx: int,
     txs: int,
+    unroll_v: bool,
 ):
     r = cfg.window_radius
     K = 2 * r + 1
@@ -235,9 +236,17 @@ def _compute(
         rrow_c = rrev[y + r] if sym else None       # (8, EW) center right row
 
         # ---- vertical pass: numv/denv over the extended columns ----------
-        def dy_body(dy, carry):
-            numv, denv = carry
-            wvl = asw_kernel._lane_window(cwv, dy, 1)  # (TXU, 1)
+        # Statically unrolled on hardware (like the horizontal pass): the
+        # fori form measured 19.6% SLOWER from pure loop machinery —
+        # per-trip dynamic-roll weight extraction and trip bookkeeping —
+        # at identical compile time (tools/ablate_sep_kernel.py
+        # unrollfull_v vs unroll2_v/part2_v/part4_v probes).  Interpret
+        # mode keeps the fori driver (unrolled bodies interpret ~6x
+        # slower); both drivers accumulate in the SAME per-tap order, so
+        # results are bit-identical and the interpret tests validate the
+        # math while the hardware gates (tpu_smoke, A/B agreement,
+        # tpu_fuzz) validate the unrolled structure.
+        def tap(dy, wvl, numv, denv):
             crow = ct[y + dy][:TXU, :]                 # (TXU, DL)
             if sym:
                 rtap = rrev[y + dy]
@@ -252,16 +261,21 @@ def _compute(
                 wv = wvl * _hankel(ev[:, :MW], TXU)           # (TXU, DL)
             else:
                 wv = jnp.broadcast_to(wvl, (TXU, DL))
-            numv = numv + wv * crow
-            denv = denv + wv
-            return (numv, denv)
+            return numv + wv * crow, denv + wv
 
-        numv, denv = lax.fori_loop(
-            0, K, dy_body,
-            (jnp.zeros((TXU, DL), jnp.float32),
-             jnp.zeros((TXU, DL), jnp.float32)),
-            unroll=False,
-        )
+        zero = jnp.zeros((TXU, DL), jnp.float32)
+        if unroll_v:
+            numv, denv = zero, zero
+            for dy in range(K):
+                numv, denv = tap(dy, cwv[:, dy : dy + 1], numv, denv)
+        else:
+            numv, denv = lax.fori_loop(
+                0, K,
+                lambda dy, c: tap(
+                    dy, asw_kernel._lane_window(cwv, dy, 1), *c
+                ),
+                (zero, zero), unroll=False,
+            )
 
         # ---- horizontal right exp plane, once per y -----------------------
         if sym:
@@ -309,7 +323,7 @@ def _kernel_blocked(ct_ref, lyt_ref, lrev_ref, rrev_ref, *rest, cfg, nx,
     """Interpret/test path: overlapping windows pre-materialized as blocks."""
     _compute(
         ct_ref.at[0], lyt_ref.at[0], lrev_ref.at[0], rrev_ref.at[0],
-        *rest, cfg=cfg, nx=nx, txs=txs,
+        *rest, cfg=cfg, nx=nx, txs=txs, unroll_v=False,
     )
 
 
@@ -347,7 +361,7 @@ def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
         c.wait()
     _compute(
         ct_sc, lyt_sc, lrev_sc, rrev_sc, swl_ref, nv_ref, *outs, *scr,
-        cfg=cfg, nx=nx, txs=txs,
+        cfg=cfg, nx=nx, txs=txs, unroll_v=True,
     )
 
 

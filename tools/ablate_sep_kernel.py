@@ -56,6 +56,27 @@ from aswstereomatch_tpu.utils import synthetic
 
 _MODES = frozenset({
     "nocolw_v", "nocolw_h", "nocolw", "noroll_v", "nosym", "noehr", "nowta",
+    "noden_v",  # drop the vertical denv accumulator: halves the vertical
+                # fori's loop-carried vreg state (numv+denv = 32 vregs at
+                # TXU=128) — a spill probe, not a work-share measurement.
+                # Saving >> the ~5% den-FMA work implicates register
+                # spills as the hidden accumulate-path cost.
+                # MEASURED: 1.0% — no spills, and the den FMA is ~free.
+    "part2_v",  # 2-way partial accumulators in the vertical fori (merge
+                # after): breaks the 33-long serial numv/denv dependency
+                # chain — the latency probe.  Changes summation order
+                # (argmin-agreement checked, not bit-exact).
+                # MEASURED: -7.5% — the chain is real.
+    "unroll2_v",  # two taps per fori iteration, SINGLE accumulator: same
+                  # dependency chain, half the loop trips — separates loop
+                  # overhead from latency (bit-exact order).
+                  # MEASURED: -9.1% — loop overhead, not latency, binds.
+    "part4_v",  # 4-way partials: deeper latency hiding, 4x accumulator
+                # state (64 vregs live).  MEASURED: -4.9% (worse than 2).
+    "unrollfull_v",  # full static unroll of the vertical dy loop (the
+                     # horizontal pass's existing structure): no fori
+                     # machinery at all, per-tap weights become static
+                     # lane slices of cwv.  Bit-exact order.
 })
 
 
@@ -129,6 +150,8 @@ def make_compute(mode: str):
                 numv, denv = carry
                 if mode == "noroll_v":
                     wvl = cwv[:, :1]
+                elif isinstance(dy, int):  # static unroll: plain lane slice
+                    wvl = cwv[:, dy : dy + 1]
                 else:
                     wvl = AK._lane_window(cwv, dy, 1)
                 crow = ct[y + dy][:TXU, :]
@@ -149,12 +172,78 @@ def make_compute(mode: str):
                 denv = denv + wv
                 return (numv, denv)
 
-            numv, denv = lax.fori_loop(
-                0, K, dy_body,
-                (jnp.zeros((TXU, DL), jnp.float32),
-                 jnp.zeros((TXU, DL), jnp.float32)),
-                unroll=False,
-            )
+            if mode == "part2_v":
+                zero = jnp.zeros((TXU, DL), jnp.float32)
+
+                def dy_pair(i, carry):
+                    na, da, nb, db = carry
+                    na, da = dy_body(2 * i, (na, da))
+                    nb, db = dy_body(2 * i + 1, (nb, db))
+                    return (na, da, nb, db)
+
+                na, da, nb, db = lax.fori_loop(
+                    0, K // 2, dy_pair, (zero, zero, zero, zero),
+                    unroll=False,
+                )
+                if K % 2:
+                    na, da = dy_body(jnp.int32(K - 1), (na, da))
+                numv, denv = na + nb, da + db
+            elif mode == "part4_v":
+                zero = jnp.zeros((TXU, DL), jnp.float32)
+
+                def dy_quad(i, carry):
+                    parts = list(carry)
+                    for j in range(4):
+                        parts[2 * j], parts[2 * j + 1] = dy_body(
+                            4 * i + j, (parts[2 * j], parts[2 * j + 1])
+                        )
+                    return tuple(parts)
+
+                parts = lax.fori_loop(
+                    0, K // 4, dy_quad, (zero,) * 8, unroll=False
+                )
+                parts = list(parts)
+                for dy in range(4 * (K // 4), K):
+                    parts[0], parts[1] = dy_body(
+                        jnp.int32(dy), (parts[0], parts[1])
+                    )
+                numv = ((parts[0] + parts[2]) + (parts[4] + parts[6]))
+                denv = ((parts[1] + parts[3]) + (parts[5] + parts[7]))
+            elif mode == "unrollfull_v":
+                zero = jnp.zeros((TXU, DL), jnp.float32)
+                numv, denv = zero, zero
+                for dy in range(K):
+                    numv, denv = dy_body(dy, (numv, denv))
+            elif mode == "unroll2_v":
+                zero = jnp.zeros((TXU, DL), jnp.float32)
+
+                def dy_two(i, carry):
+                    carry = dy_body(2 * i, carry)
+                    return dy_body(2 * i + 1, carry)
+
+                numv, denv = lax.fori_loop(
+                    0, K // 2, dy_two, (zero, zero), unroll=False
+                )
+                if K % 2:
+                    numv, denv = dy_body(jnp.int32(K - 1), (numv, denv))
+            elif mode == "noden_v":
+                # single-carry probe: numv only (16 vregs live vs 32)
+                def dy_num_only(dy, nv):
+                    n2, _ = dy_body(dy, (nv, nv * np.float32(0.0)))
+                    return n2
+
+                numv = lax.fori_loop(
+                    0, K, dy_num_only,
+                    jnp.zeros((TXU, DL), jnp.float32), unroll=False,
+                )
+                denv = numv * np.float32(0.0) + np.float32(1.0)
+            else:
+                numv, denv = lax.fori_loop(
+                    0, K, dy_body,
+                    (jnp.zeros((TXU, DL), jnp.float32),
+                     jnp.zeros((TXU, DL), jnp.float32)),
+                    unroll=False,
+                )
 
             if sym:
                 crowr = pltpu.roll(rrow_c, r, 1)
