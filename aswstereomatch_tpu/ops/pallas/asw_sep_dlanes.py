@@ -30,7 +30,7 @@ weights for an output row in one full-width plane:
     cwv[u, dy] = w_color(row y+dy, row y+r) for every dy at once.  The
     per-tap (TXU, 1) weight is a dynamic lane slice (asw_kernel's
     _lane_window roll) instead of a 10-op exp chain.
-  - horizontal: a lane-REVERSED center-row Lab operand lrev (the left-image
+  - horizontal: a lane-REVERSED center-row Lab operand lhrow (the left-image
     analog of rrev) turns the tap structure cwh[s, dx] = f(lab[s + dx])
     into ONE per-sublane strided roll (tap[s, j] = vrev[j - s] =
     lab_ext[127 - j + s]; column j = 127 - dx is tap dx for every s), so
@@ -40,16 +40,38 @@ weights for an output row in one full-width plane:
 The axial spatial factors fold into the planes as per-LANE constant rows
 (swl), preserving the round-2 product order (colw * sw) bit-for-bit.
 This also deletes the old lcx operand ((RT, TXU, 128) with 3 useful
-lanes — 2.25 MB of ~97%-waste DMA per tile); lyt + lrev together move
+lanes — 2.25 MB of ~97%-waste DMA per tile); lyt + lhrow together move
 ~0.4 MB per tile.
+
+Left-only fast path (round-3 continuation): with d-invariant weights the
+horizontal pass IS a banded matrix product — num = B @ numv with
+B[s, u] = w_color(LabL(ctr, x0-r+u), LabL(ctr, x0+s)) * sw[u-s] for
+u-s in [0, K), zero elsewhere — the same banded-MXU formulation the
+exact left-only kernel rides (asw_dlanes v3).  B is three
+(TXS,1)-vs-(1,128) broadcast-subtract-squares + one exp, masked by a
+spatial band built from _swl_np row 0 with one strided roll
+(swb_h[s, u] = sw[(u-s) mod 128]; wraps land at indices >= K where the
+row is zero because TXS + K <= 129).  The denominator never enters the
+tap loops at all: vertically it is the lane-sum of the cwv plane (the
+K taps already live in lanes), horizontally a second B dot against the
+broadcast column.  Two (TXS,128)x(128,DL) HIGHEST-precision dots per
+output row replace 2K broadcast-FMAs + sublane slices; left-only mode
+reads the horizontal-pass left rows UNREVERSED (the lhrow operand) and
+never builds cwh.  Symmetric mode is untouched (its right factor
+couples (s, dx, d) three ways — the documented MXU blocker).  The dot
+path sits behind ``LO_HPASS`` (default "fma") until the hardware gate
+passes; the column-denominator restructure ships in the default path
+bit-identically.
 
 Coordinates (shared with asw_dlanes/asw_sym_dlanes):
   - tile origin x0; output x = x0 + s, s in [0, TXS);
   - cost window sublane u covers x = x0 - r + u, u in [0, TXU);
   - rrev rows are lane-REVERSED right Lab, pre-rolled by -r:
     rrev[y][c, j] = LabR(y, x0 + 128 - r - j)  (virtual padded plane);
-  - lrev rows are lane-REVERSED left Lab: lrev[y][c, j] =
-    LabL(y, x0 - r + 127 - j);
+  - lhrow rows are left Lab, lane-REVERSED in symmetric mode (the cwh
+    tap-roll operand): lhrow[y][c, j] = LabL(y, x0 - r + 127 - j);
+    UNREVERSED in left-only mode (the B color operand):
+    lhrow[y][c, j] = LabL(y, x0 - r + j);
   - lyt[c][u, j] = LabL(j - r, x0 - r + u)  (image rows in lanes);
   - both Hankel rolls use shift 128 (mod-128 residue 0), so the Mosaic
     strided-roll bound is sublanes-1 < 128: TXU = TXS + 2r <= 128.
@@ -86,6 +108,18 @@ from .asw_dlanes import (
     _wta_writeback,
 )
 from .asw_sym_dlanes import EW, MW
+
+# Left-only horizontal-pass implementation (module constant, not an env
+# var, so the AOT executable cache's compute-source hash keys it):
+#   "fma" — K-tap broadcast-FMA loop, hardware-validated (round 3; now
+#           with the column denominator, bit-identical outputs);
+#   "mxu" — banded dot (num = B @ numv; see the module docstring),
+#           interpret-validated, PENDING the tools/tpu_smoke.py separable
+#           left-only rows + A/B on the chip (repo rule: any Mosaic dot
+#           change is hardware-run before it ships as default —
+#           docs/PERF_NOTES.md round-2 dot-precision finding).  Flip after
+#           the gate passes; tools/hw_recovery.md carries the queue item.
+LO_HPASS = "fma"
 
 
 def _tile_xs(cfg: StereoConfig) -> int:
@@ -168,7 +202,8 @@ def _swl_np(cfg: StereoConfig) -> np.ndarray:
 def _compute(
     ct,        # ref view (RT, XW, DL): cost window, d in lanes
     lyt,       # ref view (3, TXU, 128): left Lab, image rows in LANES
-    lrev,      # ref view (RT, 8, 128): left Lab rows, lane-REVERSED
+    lhrow,     # ref view (RT, 8, 128): left Lab rows (lane-REVERSED in
+               # symmetric mode, unreversed in left-only — see docstring)
     rrev,      # ref view (RT, 8, EW): right Lab rows, lane-REVERSED, -r roll
     swl_ref,   # (8, 128) per-lane axial spatial factors (_swl_np)
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
@@ -203,6 +238,17 @@ def _compute(
         b = jnp.broadcast_to(row, (sublanes, MW))
         return pltpu.roll(b, 128, 1, stride=1, stride_axis=0)[:, :DL]
 
+    if not sym and LO_HPASS == "mxu":
+        # Spatial band for the left-only horizontal dot:
+        # swb_h[s, u] = sw[(u - s) mod 128] — in-band entries are sw[u-s]
+        # for u-s in [0, K); wraps land at indices >= 128 - TXS >= K where
+        # _swl_np row 0 is zero (TXS + K <= 129).  y-invariant: built once
+        # per tile.
+        swb_h = pltpu.roll(
+            jnp.broadcast_to(swl_ref[0:1, :], (TXS, 128)),
+            0, 1, stride=1, stride_axis=0,
+        )
+
     def y_body(y, _):
         # ---- full-lane left weight planes for this output row ------------
         # cwv[u, dy] = exp(-||LabL(y+dy, u) - LabL(y+r, u)|| / gc) * sw[dy]:
@@ -220,18 +266,21 @@ def _compute(
             d2v = diff * diff if d2v is None else d2v + diff * diff
         cwv = jnp.exp(-jnp.sqrt(d2v) * inv_gc) * swl_ref[0:1, :]
 
-        # cwh[s, 127 - dx] = exp(-||LabL(y+r, x0+s+dx-r) - LabL(y+r, x0+s)||
-        # / gc) * sw[dx]: one strided roll of the lane-reversed center row
-        # gives tap[s, j] = lab_ext[127 - j + s]; j = 127 - dx is tap dx
-        # for every output column s (wrap-free: TXS + K <= 129).
-        vrow = lrev[y + r]                          # (8, 128)
-        d2h = None
-        for c in range(3):
-            b = jnp.broadcast_to(vrow[c : c + 1, :], (TXS, 128))
-            tap = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
-            dh = tap - ctrcols[c][r : r + TXS, :]
-            d2h = dh * dh if d2h is None else d2h + dh * dh
-        cwh = jnp.exp(-jnp.sqrt(d2h) * inv_gc) * swl_ref[1:2, :]
+        vrow = lhrow[y + r]                         # (8, 128) center left row
+        if sym or LO_HPASS == "fma":
+            # cwh[s, 127 - dx] = exp(-||LabL(y+r, x0+s+dx-r) -
+            # LabL(y+r, x0+s)|| / gc) * sw[dx]: one strided roll of the
+            # lane-reversed center row gives tap[s, j] = lab_ext[127-j+s];
+            # j = 127 - dx is tap dx for every output column s (wrap-free:
+            # TXS + K <= 129).  The left-only mxu path skips cwh entirely —
+            # its horizontal weights are the B band below.
+            d2h = None
+            for c in range(3):
+                b = jnp.broadcast_to(vrow[c : c + 1, :], (TXS, 128))
+                tap = pltpu.roll(b, 0, 1, stride=1, stride_axis=0)
+                dh = tap - ctrcols[c][r : r + TXS, :]
+                d2h = dh * dh if d2h is None else d2h + dh * dh
+            cwh = jnp.exp(-jnp.sqrt(d2h) * inv_gc) * swl_ref[1:2, :]
 
         rrow_c = rrev[y + r] if sym else None       # (8, EW) center right row
 
@@ -246,9 +295,10 @@ def _compute(
         # results are bit-identical and the interpret tests validate the
         # math while the hardware gates (tpu_smoke, A/B agreement,
         # tpu_fuzz) validate the unrolled structure.
-        def tap(dy, wvl, numv, denv):
-            crow = ct[y + dy][:TXU, :]                 # (TXU, DL)
-            if sym:
+        zero = jnp.zeros((TXU, DL), jnp.float32)
+        if sym:
+            def tap(dy, wvl, numv, denv):
+                crow = ct[y + dy][:TXU, :]             # (TXU, DL)
                 rtap = rrev[y + dy]
                 e2 = None
                 for c in range(3):
@@ -259,23 +309,41 @@ def _compute(
                 # vertical right center x0 - r + s - d at [s, d]:
                 # row[(d + 128 - s)] = ev at xr = x0 - r + s - d. exact.
                 wv = wvl * _hankel(ev[:, :MW], TXU)           # (TXU, DL)
-            else:
-                wv = jnp.broadcast_to(wvl, (TXU, DL))
-            return numv + wv * crow, denv + wv
+                return numv + wv * crow, denv + wv
 
-        zero = jnp.zeros((TXU, DL), jnp.float32)
-        if unroll_v:
-            numv, denv = zero, zero
-            for dy in range(K):
-                numv, denv = tap(dy, cwv[:, dy : dy + 1], numv, denv)
+            if unroll_v:
+                numv, denv = zero, zero
+                for dy in range(K):
+                    numv, denv = tap(dy, cwv[:, dy : dy + 1], numv, denv)
+            else:
+                numv, denv = lax.fori_loop(
+                    0, K,
+                    lambda dy, c: tap(
+                        dy, asw_kernel._lane_window(cwv, dy, 1), *c
+                    ),
+                    (zero, zero), unroll=False,
+                )
         else:
-            numv, denv = lax.fori_loop(
-                0, K,
-                lambda dy, c: tap(
-                    dy, asw_kernel._lane_window(cwv, dy, 1), *c
-                ),
-                (zero, zero), unroll=False,
-            )
+            # Left-only vertical pass: d-invariant weights, so each tap is
+            # ONE (TXU,1)x(TXU,DL) broadcast FMA and the denominator never
+            # enters the loop — the K tap weights already live in cwv's
+            # lanes, so denv is a single lane-sum column.
+            def tap_lo(dy, wvl, numv):
+                return numv + wvl * ct[y + dy][:TXU, :]
+
+            if unroll_v:
+                numv = zero
+                for dy in range(K):
+                    numv = tap_lo(dy, cwv[:, dy : dy + 1], numv)
+            else:
+                numv = lax.fori_loop(
+                    0, K,
+                    lambda dy, nv: tap_lo(
+                        dy, asw_kernel._lane_window(cwv, dy, 1), nv
+                    ),
+                    zero, unroll=False,
+                )
+            denv_col = jnp.sum(cwv, axis=1, keepdims=True)    # (TXU, 1)
 
         # ---- horizontal right exp plane, once per y -----------------------
         if sym:
@@ -292,15 +360,53 @@ def _compute(
                 e2 = dr * dr if e2 is None else e2 + dr * dr
             ehr = jnp.exp(-jnp.sqrt(e2) * inv_gc)             # (K8, EW)
 
-        # ---- horizontal pass: K taps of numv/denv -------------------------
-        num = jnp.zeros((TXS, DL), jnp.float32)
-        den = jnp.zeros((TXS, DL), jnp.float32)
-        for dx in range(K):
-            wh = cwh[:, 127 - dx : 128 - dx]                  # (TXS, 1)
-            if sym:
+        # ---- horizontal pass ----------------------------------------------
+        if sym:
+            # K taps of numv/denv (the d-coupled right factor blocks the
+            # MXU here — see the module docstring).
+            num = jnp.zeros((TXS, DL), jnp.float32)
+            den = jnp.zeros((TXS, DL), jnp.float32)
+            for dx in range(K):
+                wh = cwh[:, 127 - dx : 128 - dx]              # (TXS, 1)
                 wh = wh * _hankel(ehr[dx : dx + 1, :MW], TXS)
-            num = num + wh * numv[dx : dx + TXS, :]
-            den = den + wh * denv[dx : dx + TXS, :]
+                num = num + wh * numv[dx : dx + TXS, :]
+                den = den + wh * denv[dx : dx + TXS, :]
+        elif LO_HPASS == "mxu":
+            # Left-only: the pass IS a banded matmul.  B[s, u] =
+            # w_color(LabL(ctr, x0-r+u), LabL(ctr, x0+s)) * sw[u-s] in the
+            # band u-s in [0, K), zero outside (swb_h mask); vrow is the
+            # UNREVERSED center left row, lane u = LabL(ctr, x0-r+u).
+            d2h = None
+            for c in range(3):
+                dh = (
+                    jnp.broadcast_to(vrow[c : c + 1, :], (TXS, 128))
+                    - ctrcols[c][r : r + TXS, :]
+                )
+                d2h = dh * dh if d2h is None else d2h + dh * dh
+            band = jnp.exp(-jnp.sqrt(d2h) * inv_gc) * swb_h   # (TXS, 128)
+            # HIGHEST = one f32 MXU pass; Mosaic rejects HIGH/DEFAULT
+            # (asw_dlanes v3 precedent).
+            num = jax.lax.dot(
+                band, numv,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            den = jax.lax.dot(
+                band, jnp.broadcast_to(denv_col, (TXU, DL)),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # Left-only "fma": the round-3 K-tap loop, except the
+            # denominator rides (TXS, 1) columns — bit-identical outputs
+            # (same adds in the same order, lanes were duplicates) at
+            # ~25% less accumulate work.
+            num = jnp.zeros((TXS, DL), jnp.float32)
+            den = jnp.zeros((TXS, 1), jnp.float32)
+            for dx in range(K):
+                wh = cwh[:, 127 - dx : 128 - dx]              # (TXS, 1)
+                num = num + wh * numv[dx : dx + TXS, :]
+                den = den + wh * denv_col[dx : dx + TXS, :]
 
         _wta_writeback(
             num / den, y, x0, n_valid, D,
@@ -318,21 +424,21 @@ def _compute(
     rd_ref[0] = rd_sc[:, :TYO]
 
 
-def _kernel_blocked(ct_ref, lyt_ref, lrev_ref, rrev_ref, *rest, cfg, nx,
+def _kernel_blocked(ct_ref, lyt_ref, lhrow_ref, rrev_ref, *rest, cfg, nx,
                     txs):
     """Interpret/test path: overlapping windows pre-materialized as blocks."""
     _compute(
-        ct_ref.at[0], lyt_ref.at[0], lrev_ref.at[0], rrev_ref.at[0],
+        ct_ref.at[0], lyt_ref.at[0], lhrow_ref.at[0], rrev_ref.at[0],
         *rest, cfg=cfg, nx=nx, txs=txs, unroll_v=False,
     )
 
 
-def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
+def _kernel_dma(ct_hbm, lyt_hbm, lhrow_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
                 cfg, nx, txs):
     """Hardware path: planes stay untiled in HBM; each grid step DMAs its
     overlapping window into VMEM scratch (same scheme as asw_dlanes)."""
     outs, dma, scr = rest[:6], rest[6:14], rest[14:]
-    ct_sc, lyt_sc, lrev_sc, rrev_sc, s0, s1, s2, s3 = dma
+    ct_sc, lyt_sc, lhrow_sc, rrev_sc, s0, s1, s2, s3 = dma
     TYO, TXS = TILE_YO, txs
     TXU = lyt_sc.shape[1]
     RT = ct_sc.shape[0]
@@ -346,7 +452,7 @@ def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
             lyt_hbm.at[iy, :, pl.ds(ix * TXS, TXU), :], lyt_sc, s1
         ),
         pltpu.make_async_copy(
-            lrev_hbm.at[ix, pl.ds(iy * TYO, RT)], lrev_sc, s2
+            lhrow_hbm.at[ix, pl.ds(iy * TYO, RT)], lhrow_sc, s2
         ),
     ]
     if cfg.asw_symmetric:  # left-only never reads the right-Lab rows
@@ -360,7 +466,7 @@ def _kernel_dma(ct_hbm, lyt_hbm, lrev_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
     for c in copies:
         c.wait()
     _compute(
-        ct_sc, lyt_sc, lrev_sc, rrev_sc, swl_ref, nv_ref, *outs, *scr,
+        ct_sc, lyt_sc, lhrow_sc, rrev_sc, swl_ref, nv_ref, *outs, *scr,
         cfg=cfg, nx=nx, txs=txs, unroll_v=True,
     )
 
@@ -390,7 +496,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
 
     # Left Lab on the virtual padded plane:
     # labx[y, ix*TXS + u] = LabL(y - r, x0 - r + u); padded wide enough for
-    # the 128-lane lrev slices ((nx-1)*TXS + 128 columns).
+    # the 128-lane lhrow slices ((nx-1)*TXS + 128 columns).
     lab_l = preprocess.rgb_to_lab(left)
     labx = jnp.pad(
         lab_l,
@@ -407,15 +513,22 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jnp.arange(ny)[:, None] * TYO + jnp.arange(128)[None, :], 0, Hp - 1
     )
     lyt = jnp.transpose(labx[rows], (0, 3, 2, 1))
-    # lrev: lane-reversed left Lab rows per x-tile, channels in sublanes.
-    lrev = jnp.stack(
+    # lhrow: left Lab rows per x-tile, channels in sublanes — lane-REVERSED
+    # wherever cwh is built (symmetric mode, and left-only under the "fma"
+    # horizontal pass), UNREVERSED for the left-only mxu path (the
+    # horizontal B-band color operand).
+    if cfg.asw_symmetric or LO_HPASS == "fma":
+        xsl = slice(None, None, -1)
+    else:
+        xsl = slice(None)
+    lhrow = jnp.stack(
         [
-            jnp.moveaxis(labx[:, ix * TXS : ix * TXS + 128][:, ::-1], 2, 1)
+            jnp.moveaxis(labx[:, ix * TXS : ix * TXS + 128][:, xsl], 2, 1)
             for ix in range(nx)
         ],
         axis=0,
     )
-    lrev = jnp.pad(lrev, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
+    lhrow = jnp.pad(lhrow, ((0, 0), (0, 0), (0, 8 - 3), (0, 0)))
 
     # Reversed right rows, identical to asw_sym_dlanes.  Only the symmetric
     # mode reads them (static branch in _compute; the DMA path skips the
@@ -471,13 +584,13 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
 
             return jax.vmap(f)(jnp.arange(T))
 
-        lrevtiles = get_rows(lrev)
+        lhrowtiles = get_rows(lhrow)
         if cfg.asw_symmetric:
             rrevtiles = get_rows(rrev)
         else:
             rrevtiles = jnp.zeros((T, RT, 8, EW), jnp.float32)
         kern = functools.partial(_kernel_blocked, cfg=cfg, nx=nx, txs=TXS)
-        data_in = (ctiles, lyttiles, lrevtiles, rrevtiles)
+        data_in = (ctiles, lyttiles, lhrowtiles, rrevtiles)
         data_specs = [
             pl.BlockSpec(
                 (1, RT, XW, DL), lambda t: (t, 0, 0, 0),
@@ -499,7 +612,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         scratch = compute_scratch
     else:
         kern = functools.partial(_kernel_dma, cfg=cfg, nx=nx, txs=TXS)
-        data_in = (vol, lyt, lrev, rrev)
+        data_in = (vol, lyt, lhrow, rrev)
         data_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
         scratch = [
             pltpu.VMEM((RT, XW, DL), jnp.float32),
