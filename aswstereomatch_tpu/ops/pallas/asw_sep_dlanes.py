@@ -111,8 +111,13 @@ from .asw_sym_dlanes import EW, MW
 
 # Left-only horizontal-pass implementation (module constant, not an env
 # var, so the AOT executable cache's compute-source hash keys it):
-#   "fma" — K-tap broadcast-FMA loop, hardware-validated (round 3; now
-#           with the column denominator, bit-identical outputs);
+#   "fma" — K-tap broadcast-FMA loop, hardware-validated (round 3; round 4
+#           re-ran tools/tpu_smoke.py sep_lo rows on these exact bytes).
+#           The column denominator (denv_col = sum(cwv)) is numerically
+#           equivalent to the old per-tap accumulation — same K
+#           non-negative terms — but the cross-lane reduction order is
+#           compiler-chosen, so equivalence is "same value up to f32
+#           reassociation", not bit-identity;
 #   "mxu" — banded dot (num = B @ numv; see the module docstring),
 #           interpret-validated, PENDING the tools/tpu_smoke.py separable
 #           left-only rows + A/B on the chip (repo rule: any Mosaic dot
@@ -241,9 +246,11 @@ def _compute(
     if not sym and LO_HPASS == "mxu":
         # Spatial band for the left-only horizontal dot:
         # swb_h[s, u] = sw[(u - s) mod 128] — in-band entries are sw[u-s]
-        # for u-s in [0, K); wraps land at indices >= 128 - TXS >= K where
-        # _swl_np row 0 is zero (TXS + K <= 129).  y-invariant: built once
-        # per tile.
+        # for u-s in [0, K); the minimum wrapped index is (u-s) mod 128 at
+        # u=0, s=TXS-1, i.e. 129 - TXS >= K where _swl_np row 0 is zero
+        # (exactly the TXS + K <= 129 bound _tile_xs enforces; at r=16,
+        # TXS=96, K=33 the bound is TIGHT — 129-96 = 33 — no slack).
+        # y-invariant: built once per tile.
         swb_h = pltpu.roll(
             jnp.broadcast_to(swl_ref[0:1, :], (TXS, 128)),
             0, 1, stride=1, stride_axis=0,
@@ -398,9 +405,10 @@ def _compute(
             )
         else:
             # Left-only "fma": the round-3 K-tap loop, except the
-            # denominator rides (TXS, 1) columns — bit-identical outputs
-            # (same adds in the same order, lanes were duplicates) at
-            # ~25% less accumulate work.
+            # denominator rides (TXS, 1) columns — numerically equivalent
+            # (the horizontal adds are the same in the same order; the
+            # vertical denv_col sum may reassociate, see denv_col above)
+            # at ~25% less accumulate work.
             num = jnp.zeros((TXS, DL), jnp.float32)
             den = jnp.zeros((TXS, 1), jnp.float32)
             for dx in range(K):

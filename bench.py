@@ -162,14 +162,18 @@ def _bench_setup(preset: str, backend: str):
 
 def warm_cache(preset: str, backend: str) -> str:
     """Populate the AOT executable cache for a preset and return the compile
-    source.  Does NOT execute the pipeline — the sole purpose is that the
-    next ``bench.py`` run loads instead of compiling, and every second this
-    process holds the (single, serialized) TPU device is a second a
-    concurrently-launched bench cannot use it."""
+    source.  Also executes the pipeline ONCE: the first dispatch of a
+    (cache-loaded) executable pays a device/tunnel-side program-load cost
+    that was measured at ~230 s in a cold session (round 4: a bench run
+    with compile_s=0.5s from aot-cache still missed its 240 s deadline on
+    first touch; the identical re-run finished in seconds).  Warming must
+    pay that cost here so a subsequent bench never can."""
     from aswstereomatch_tpu.utils import aotcache
 
     cfg, left, right, _ = _bench_setup(preset, backend)
-    _, source = aotcache.cached_match_pair(cfg, left, right)
+    fn, source = aotcache.cached_match_pair(cfg, left, right)
+    out = fn(left, right)
+    float(out[0, 0])  # scalar fetch: block_until_ready is a no-op on axon
     return source
 
 

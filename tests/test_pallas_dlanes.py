@@ -312,6 +312,37 @@ def test_sep_dlanes_outputs_match_jnp_volume(cfg, shape):
     )
 
 
+@pytest.mark.parametrize(
+    "cfg,shape",
+    [
+        (SEP, (24, 40)),
+        # flagship-class K=33 window so the swb_h wrap bound (TXS+K<=129)
+        # is exercised at its tight point
+        (SEP.replace(max_disparity=16, window_radius=16), (12, 80)),
+    ],
+    ids=["leftonly_small", "leftonly_k33"],
+)
+def test_sep_dlanes_mxu_hpass_matches_jnp_volume(cfg, shape, monkeypatch):
+    """LO_HPASS="mxu" banded-dot horizontal pass: parity coverage so the
+    gated path cannot rot while it awaits (or after) the hardware A/B
+    (ADVICE round 3).  Same gate as the default-path test: exact argmin,
+    allclose costs."""
+    from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
+
+    monkeypatch.setattr(asw_sep_dlanes, "LO_HPASS", "mxu")
+    h, w = shape
+    pair = synthetic.make_pair(
+        height=h, width=w, max_disparity=cfg.max_disparity, seed=3
+    )
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    outs = J(asw_sep_dlanes.wta_outputs, cfg=cfg)(l, r)
+    vol = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+    np.testing.assert_array_equal(np.asarray(outs["bestd"]), np.argmin(vol, -1))
+    np.testing.assert_allclose(
+        np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+
+
 def test_sep_dlanes_pipeline_end_to_end_matches_jnp():
     """Full pipeline (LR + fill + subpixel + median) through the kernel vs
     the jnp separable path: subpixel-tolerance agreement."""
