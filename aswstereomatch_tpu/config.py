@@ -104,6 +104,13 @@ class StereoConfig:
     # ---- memory -------------------------------------------------------------
     y_chunks: int = 1                  # >1: stream row bands sequentially per
                                        # device (bounds peak HBM; bit-exact)
+    volume_dtype: str = "float32"      # cost-volume STORAGE dtype on the
+                                       # separable d-lanes kernel path:
+                                       # "bfloat16" halves the volume's HBM
+                                       # footprint + DMA bytes (accumulation
+                                       # stays f32; costs are quantized to
+                                       # 8-bit mantissa before aggregation —
+                                       # accuracy drift pinned by tests)
     # ---- parallelism (SURVEY section 2.2; no reference analog) --------------
     # Deployment layout consumed by parallel.mesh.mesh_from_config /
     # parallel.api.sharded_matcher: how many chips along each mesh axis and
@@ -138,6 +145,12 @@ class StereoConfig:
             raise ValueError(f"unknown kernel_layout {self.kernel_layout!r}")
         if self.asw_separable and self.aggregation != "asw":
             raise ValueError("asw_separable requires aggregation='asw'")
+        if self.volume_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unknown volume_dtype {self.volume_dtype!r}")
+        if self.volume_dtype == "bfloat16" and not self.asw_separable:
+            # Consumed only by the separable d-lanes kernel; rejecting the
+            # other paths beats a config that claims bf16 but runs f32.
+            raise ValueError("volume_dtype='bfloat16' requires asw_separable")
 
     # -- derived --------------------------------------------------------------
     @property

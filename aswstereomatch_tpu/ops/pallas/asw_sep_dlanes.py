@@ -58,10 +58,13 @@ broadcast column.  Two (TXS,128)x(128,DL) HIGHEST-precision dots per
 output row replace 2K broadcast-FMAs + sublane slices; left-only mode
 reads the horizontal-pass left rows UNREVERSED (the lhrow operand) and
 never builds cwh.  Symmetric mode is untouched (its right factor
-couples (s, dx, d) three ways — the documented MXU blocker).  The dot
-path sits behind ``LO_HPASS`` (default "fma") until the hardware gate
-passes; the column-denominator restructure ships in the default path
-bit-identically.
+couples (s, dx, d) three ways — the documented MXU blocker).  Decided
+by measurement round 4 (tools/ab_lo_hpass.py, on-chip, queued
+dispatch): the dot beats the K-tap FMA loop 1.35x at the flagship
+left-only geometry (KITTI r=16: 34.9 -> 25.9 ms/pair kernel) and
+1.14-1.16x at small r8/r12 (wash at small r16), argmin agreement 100%
+at every geometry — so the banded dot IS the left-only horizontal
+pass and the FMA branch is deleted (no dark path).
 
 Coordinates (shared with asw_dlanes/asw_sym_dlanes):
   - tile origin x0; output x = x0 + s, s in [0, TXS);
@@ -108,24 +111,6 @@ from .asw_dlanes import (
     _wta_writeback,
 )
 from .asw_sym_dlanes import EW, MW
-
-# Left-only horizontal-pass implementation (module constant, not an env
-# var, so the AOT executable cache's compute-source hash keys it):
-#   "fma" — K-tap broadcast-FMA loop, hardware-validated (round 3; round 4
-#           re-ran tools/tpu_smoke.py sep_lo rows on these exact bytes).
-#           The column denominator (denv_col = sum(cwv)) is numerically
-#           equivalent to the old per-tap accumulation — same K
-#           non-negative terms — but the cross-lane reduction order is
-#           compiler-chosen, so equivalence is "same value up to f32
-#           reassociation", not bit-identity;
-#   "mxu" — banded dot (num = B @ numv; see the module docstring),
-#           interpret-validated, PENDING the tools/tpu_smoke.py separable
-#           left-only rows + A/B on the chip (repo rule: any Mosaic dot
-#           change is hardware-run before it ships as default —
-#           docs/PERF_NOTES.md round-2 dot-precision finding).  Flip after
-#           the gate passes; tools/hw_recovery.md carries the queue item.
-LO_HPASS = "fma"
-
 
 def _tile_xs(cfg: StereoConfig) -> int:
     """Adaptive output-tile width: the widest 8-multiple with
@@ -243,7 +228,7 @@ def _compute(
         b = jnp.broadcast_to(row, (sublanes, MW))
         return pltpu.roll(b, 128, 1, stride=1, stride_axis=0)[:, :DL]
 
-    if not sym and LO_HPASS == "mxu":
+    if not sym:
         # Spatial band for the left-only horizontal dot:
         # swb_h[s, u] = sw[(u - s) mod 128] — in-band entries are sw[u-s]
         # for u-s in [0, K); the minimum wrapped index is (u-s) mod 128 at
@@ -274,13 +259,13 @@ def _compute(
         cwv = jnp.exp(-jnp.sqrt(d2v) * inv_gc) * swl_ref[0:1, :]
 
         vrow = lhrow[y + r]                         # (8, 128) center left row
-        if sym or LO_HPASS == "fma":
+        if sym:
             # cwh[s, 127 - dx] = exp(-||LabL(y+r, x0+s+dx-r) -
             # LabL(y+r, x0+s)|| / gc) * sw[dx]: one strided roll of the
             # lane-reversed center row gives tap[s, j] = lab_ext[127-j+s];
             # j = 127 - dx is tap dx for every output column s (wrap-free:
-            # TXS + K <= 129).  The left-only mxu path skips cwh entirely —
-            # its horizontal weights are the B band below.
+            # TXS + K <= 129).  Left-only skips cwh entirely — its
+            # horizontal weights are the B band below.
             d2h = None
             for c in range(3):
                 b = jnp.broadcast_to(vrow[c : c + 1, :], (TXS, 128))
@@ -305,7 +290,9 @@ def _compute(
         zero = jnp.zeros((TXU, DL), jnp.float32)
         if sym:
             def tap(dy, wvl, numv, denv):
-                crow = ct[y + dy][:TXU, :]             # (TXU, DL)
+                # bf16 storage mode converts on read; accumulation is f32
+                # either way (astype is a no-op for f32 volumes)
+                crow = ct[y + dy][:TXU, :].astype(jnp.float32)  # (TXU, DL)
                 rtap = rrev[y + dy]
                 e2 = None
                 for c in range(3):
@@ -336,7 +323,7 @@ def _compute(
             # enters the loop — the K tap weights already live in cwv's
             # lanes, so denv is a single lane-sum column.
             def tap_lo(dy, wvl, numv):
-                return numv + wvl * ct[y + dy][:TXU, :]
+                return numv + wvl * ct[y + dy][:TXU, :].astype(jnp.float32)
 
             if unroll_v:
                 numv = zero
@@ -378,7 +365,7 @@ def _compute(
                 wh = wh * _hankel(ehr[dx : dx + 1, :MW], TXS)
                 num = num + wh * numv[dx : dx + TXS, :]
                 den = den + wh * denv[dx : dx + TXS, :]
-        elif LO_HPASS == "mxu":
+        else:
             # Left-only: the pass IS a banded matmul.  B[s, u] =
             # w_color(LabL(ctr, x0-r+u), LabL(ctr, x0+s)) * sw[u-s] in the
             # band u-s in [0, K), zero outside (swb_h mask); vrow is the
@@ -403,18 +390,6 @@ def _compute(
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
-        else:
-            # Left-only "fma": the round-3 K-tap loop, except the
-            # denominator rides (TXS, 1) columns — numerically equivalent
-            # (the horizontal adds are the same in the same order; the
-            # vertical denv_col sum may reassociate, see denv_col above)
-            # at ~25% less accumulate work.
-            num = jnp.zeros((TXS, DL), jnp.float32)
-            den = jnp.zeros((TXS, 1), jnp.float32)
-            for dx in range(K):
-                wh = cwh[:, 127 - dx : 128 - dx]              # (TXS, 1)
-                num = num + wh * numv[dx : dx + TXS, :]
-                den = den + wh * denv_col[dx : dx + TXS, :]
 
         _wta_writeback(
             num / den, y, x0, n_valid, D,
@@ -501,6 +476,13 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     T = ny * nx
 
     vol = _padded_volume(left, right, cfg, H, W, ny, nx, TYO, TXS)
+    if cfg.volume_dtype == "bfloat16":
+        # Storage-precision mode: halves the volume's HBM footprint and the
+        # per-tile DMA bytes (the kernel's largest operand).  BIG survives
+        # the cast (bf16 shares f32's exponent range); reads convert back
+        # to f32 in _compute, so WTA/accumulation precision is unchanged —
+        # only the stored costs are quantized to bf16's 8-bit mantissa.
+        vol = vol.astype(jnp.bfloat16)
 
     # Left Lab on the virtual padded plane:
     # labx[y, ix*TXS + u] = LabL(y - r, x0 - r + u); padded wide enough for
@@ -522,13 +504,9 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     )
     lyt = jnp.transpose(labx[rows], (0, 3, 2, 1))
     # lhrow: left Lab rows per x-tile, channels in sublanes — lane-REVERSED
-    # wherever cwh is built (symmetric mode, and left-only under the "fma"
-    # horizontal pass), UNREVERSED for the left-only mxu path (the
-    # horizontal B-band color operand).
-    if cfg.asw_symmetric or LO_HPASS == "fma":
-        xsl = slice(None, None, -1)
-    else:
-        xsl = slice(None)
+    # where cwh is built (symmetric mode), UNREVERSED in left-only mode
+    # (the horizontal B-band color operand).
+    xsl = slice(None, None, -1) if cfg.asw_symmetric else slice(None)
     lhrow = jnp.stack(
         [
             jnp.moveaxis(labx[:, ix * TXS : ix * TXS + 128][:, xsl], 2, 1)
@@ -623,7 +601,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         data_in = (vol, lyt, lhrow, rrev)
         data_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * 4
         scratch = [
-            pltpu.VMEM((RT, XW, DL), jnp.float32),
+            pltpu.VMEM((RT, XW, DL), vol.dtype),
             pltpu.VMEM((3, TXU, 128), jnp.float32),
             pltpu.VMEM((RT, 8, 128), jnp.float32),
             pltpu.VMEM((RT, 8, EW), jnp.float32),

@@ -32,6 +32,79 @@ from ..ops import aggregate, postprocess
 from . import mesh as mesh_lib
 
 
+def _pallas_shard_wta(ls_ext_g, rs_pad_g, k, cfg, ds, D, h, w):
+    """Windowed x-lanes-kernel WTA for d-shard ``k`` (global d in
+    [k*ds, (k+1)*ds)), on pre-padded channel stacks.
+
+    Factored out of the ``shard_map`` body so the IDENTICAL construction
+    can also run with a static shard index on a single device:
+    ``tools/tpu_fuzz.py`` Mosaic-validates the d-window kernel form this
+    way (a single chip cannot host the n-device mesh, but the kernel
+    bytes it compiles here are exactly the sharded path's)."""
+    from ..ops.pallas import asw_kernel
+
+    r = cfg.window_radius
+    dk = ds + 2  # slab + one overlap d per side for the subpixel triple
+    s0 = k * ds - 1  # kernel-local d' <-> global d = s0 + d'
+    # R'(v) = R(v - s0); slice the wide-padded stack so the kernel's
+    # [-(r + dk - 1), W - 1 + r] window lands on real columns.
+    start = D - (k + 1) * ds  # = (r + D) - (r + dk - 1) - s0
+    rs_ext = lax.dynamic_slice(
+        rs_pad_g,
+        (0, 0, start),
+        (7, h, w + 2 * r + dk - 1),
+    )
+    kouts = asw_kernel.wta_outputs_from_stacks(
+        ls_ext_g, rs_ext, cfg.replace(max_disparity=dk), w,
+        want_strip=True, d_window=(1, ds + 1),
+    )
+    bestc = kouts["bestc"]
+    bestd = s0 + kouts["bestd"]
+    cm = kouts["cm"]
+    cp = kouts["cp"]
+    # Right view: kernel column u is real right col x' = u - s0.
+    # Kernel-frame u < 0 lives in the exported strip (e.g. shard 0's
+    # x' = 0 sits at u = -1); u beyond W-1 would be x' whose slab
+    # candidates all have x' + d >= W (no left pixel) — correctly
+    # absent, padded inf.
+    full_c = jnp.concatenate(
+        [kouts["r_strip_c"], kouts["rbestc"]], axis=1
+    )  # u in [-(dk-1), W)
+    full_d = jnp.concatenate(
+        [kouts["r_strip_d"], kouts["rbestd"]], axis=1
+    )
+    pc = jnp.pad(full_c, ((0, 0), (0, D)), constant_values=jnp.inf)
+    pd = jnp.pad(full_d, ((0, 0), (0, D)))
+    start = s0 + dk - 1  # index of real x' = 0 (= d0 + ds >= 0)
+    rbestc = lax.dynamic_slice(pc, (0, start), (h, w))
+    rbestd = s0 + lax.dynamic_slice(pd, (0, start), (h, w))
+    return bestc, bestd, cm, cp, rbestc, rbestd
+
+
+def shard_wta_outputs(left, right, cfg, k: int, n: int):
+    """Run shard ``k`` of ``n``'s windowed-kernel WTA on the CURRENT
+    device, no mesh required — the single-chip hardware entry for the
+    d-window kernel form (fuzz + smoke).  Returns the per-shard
+    (bestc, bestd, cm, cp, rbestc, rbestd) tuple the combine step merges."""
+    from ..ops import preprocess
+
+    D = cfg.max_disparity
+    if D % n:
+        raise ValueError(f"max_disparity {D} not divisible by {n} d-shards")
+    ds = D // n
+    h, w = left.shape[:2]
+    r = cfg.window_radius
+    ls_ext_g = jnp.pad(
+        preprocess.channel_stack(left), ((0, 0), (0, 0), (r, r)), mode="edge"
+    )
+    rs_pad_g = jnp.pad(
+        preprocess.channel_stack(right),
+        ((0, 0), (0, 0), (r + D, r + 1)),
+        mode="edge",
+    )
+    return _pallas_shard_wta(ls_ext_g, rs_pad_g, k, cfg, ds, D, h, w)
+
+
 def match_pair_dsharded(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -76,10 +149,8 @@ def match_pair_dsharded(
         )
     if use_pallas:
         from ..ops import preprocess
-        from ..ops.pallas import asw_kernel
 
         r = cfg.window_radius
-        dk = ds + 2  # slab + one overlap d per side for the subpixel triple
         ls_pre = preprocess.channel_stack(left)
         rs_pre = preprocess.channel_stack(right)
         ls_ext_g = jnp.pad(ls_pre, ((0, 0), (0, 0), (r, r)), mode="edge")
@@ -101,39 +172,9 @@ def match_pair_dsharded(
         d0 = k * ds
         take = lambda a, i: jnp.take_along_axis(a, i[..., None], axis=-1)[..., 0]
         if use_pallas:
-            s0 = d0 - 1  # kernel-local d' <-> global d = s0 + d'
-            # R'(v) = R(v - s0); slice the wide-padded stack so the kernel's
-            # [-(r + dk - 1), W - 1 + r] window lands on real columns.
-            start = D - (k + 1) * ds  # = (r + D) - (r + dk - 1) - s0
-            rs_ext = lax.dynamic_slice(
-                rs_pad_g,
-                (0, 0, start),
-                (7, h, w + 2 * r + dk - 1),
+            bestc, bestd, cm, cp, rbestc, rbestd = _pallas_shard_wta(
+                ls_ext_g, rs_pad_g, k, cfg, ds, D, h, w
             )
-            kouts = asw_kernel.wta_outputs_from_stacks(
-                ls_ext_g, rs_ext, cfg.replace(max_disparity=dk), w,
-                want_strip=True, d_window=(1, ds + 1),
-            )
-            bestc = kouts["bestc"]
-            bestd = s0 + kouts["bestd"]
-            cm = kouts["cm"]
-            cp = kouts["cp"]
-            # Right view: kernel column u is real right col x' = u - s0.
-            # Kernel-frame u < 0 lives in the exported strip (e.g. shard 0's
-            # x' = 0 sits at u = -1); u beyond W-1 would be x' whose slab
-            # candidates all have x' + d >= W (no left pixel) — correctly
-            # absent, padded inf.
-            full_c = jnp.concatenate(
-                [kouts["r_strip_c"], kouts["rbestc"]], axis=1
-            )  # u in [-(dk-1), W)
-            full_d = jnp.concatenate(
-                [kouts["r_strip_d"], kouts["rbestd"]], axis=1
-            )
-            pc = jnp.pad(full_c, ((0, 0), (0, D)), constant_values=jnp.inf)
-            pd = jnp.pad(full_d, ((0, 0), (0, D)))
-            start = s0 + dk - 1  # index of real x' = 0 (= d0 + ds >= 0)
-            rbestc = lax.dynamic_slice(pc, (0, start), (h, w))
-            rbestd = s0 + lax.dynamic_slice(pd, (0, start), (h, w))
         else:
             # Slab with one overlap d per side (clamped) for the triple.
             local = jnp.arange(ds + 2) - 1

@@ -322,14 +322,14 @@ def test_sep_dlanes_outputs_match_jnp_volume(cfg, shape):
     ],
     ids=["leftonly_small", "leftonly_k33"],
 )
-def test_sep_dlanes_mxu_hpass_matches_jnp_volume(cfg, shape, monkeypatch):
-    """LO_HPASS="mxu" banded-dot horizontal pass: parity coverage so the
-    gated path cannot rot while it awaits (or after) the hardware A/B
-    (ADVICE round 3).  Same gate as the default-path test: exact argmin,
-    allclose costs."""
+def test_sep_dlanes_mxu_hpass_matches_jnp_volume(cfg, shape):
+    """Left-only banded-dot (MXU) horizontal pass — made THE left-only
+    path in round 4 after the on-chip A/B (tools/ab_lo_hpass.py: 1.35x at
+    KITTI, argmin agreement 100% at 4 geometries).  The K=33 case pins
+    the swb_h wrap bound at its tight point; same gate as the
+    default-path test: exact argmin, allclose costs."""
     from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
 
-    monkeypatch.setattr(asw_sep_dlanes, "LO_HPASS", "mxu")
     h, w = shape
     pair = synthetic.make_pair(
         height=h, width=w, max_disparity=cfg.max_disparity, seed=3
@@ -340,6 +340,28 @@ def test_sep_dlanes_mxu_hpass_matches_jnp_volume(cfg, shape, monkeypatch):
     np.testing.assert_array_equal(np.asarray(outs["bestd"]), np.argmin(vol, -1))
     np.testing.assert_allclose(
         np.asarray(outs["bestc"]), vol.min(-1), rtol=1e-4, atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("sym", [True, False], ids=["sym", "leftonly"])
+def test_sep_dlanes_bf16_volume_tracks_f32(sym):
+    """volume_dtype="bfloat16" (storage-precision mode): costs quantized to
+    8-bit mantissa before aggregation, accumulation f32.  Gate: near-total
+    argmin agreement with the f32 kernel and small winner-cost drift."""
+    from aswstereomatch_tpu.ops.pallas import asw_sep_dlanes
+
+    cfg32 = SEP.replace(asw_symmetric=sym, max_disparity=32, window_radius=8)
+    cfg16 = cfg32.replace(volume_dtype="bfloat16")
+    pair = synthetic.make_pair(height=40, width=120, max_disparity=32, seed=7)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    o32 = J(asw_sep_dlanes.wta_outputs, cfg=cfg32)(l, r)
+    o16 = J(asw_sep_dlanes.wta_outputs, cfg=cfg16)(l, r)
+    d32, d16 = np.asarray(o32["bestd"]), np.asarray(o16["bestd"])
+    assert np.mean(d32 == d16) > 0.995
+    assert np.mean(np.abs(d32 - d16) > 2) < 0.002
+    np.testing.assert_allclose(
+        np.asarray(o16["bestc"]), np.asarray(o32["bestc"]),
+        rtol=1e-2, atol=1e-2,
     )
 
 

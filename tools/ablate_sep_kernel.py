@@ -302,6 +302,12 @@ def make_compute(mode: str):
 GEOM = {  # suffix -> (tile_xs override or None, TILE_YO)
     "geom64": (64, ASD.TILE_YO),   # the round-2 fixed width, for reference
     "geom_y32": (None, 32),
+    "geom_y8": (None, 8),
+}
+
+# Config-level variants (run through the SHIPPED kernel, no monkeypatch):
+CFGV = {
+    "bf16vol": dict(volume_dtype="bfloat16"),  # storage-precision mode
 }
 
 
@@ -315,6 +321,10 @@ def run(variant: str, left, right, cfg):
                 if txs is not None:
                     ASD._tile_xs = lambda cfg, _t=txs: _t
                 ASD.TILE_YO = tyo
+                accum_mode = variant[: -len(suffix)].rstrip("_") or "baseline"
+        for suffix, overrides in CFGV.items():
+            if variant.endswith(suffix):
+                cfg = cfg.replace(**overrides)
                 accum_mode = variant[: -len(suffix)].rstrip("_") or "baseline"
         if accum_mode != "baseline":
             ASD._compute = make_compute(accum_mode)
@@ -352,7 +362,9 @@ def main():
     right = jnp.asarray(pair["right"])
     base = float(os.environ["ABLATE_BASE_S"]) if "ABLATE_BASE_S" in os.environ else None
     base_d = None
-    exact_modes = ("baseline", "geom64", "geom_y32")
+    # agreement printed for restructures (exact) and bf16vol (approx —
+    # its agreement number IS the accuracy result)
+    exact_modes = ("baseline", "geom64", "geom_y32", "geom_y8", "bf16vol")
     for v in variants:
         best, comp, bestd = run(v, left, right, cfg)
         if v == "baseline":

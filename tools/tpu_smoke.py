@@ -97,6 +97,24 @@ def run_matrix(quick: bool = False) -> int:
                          max_disparity=32, kernel_layout="dlanes"),
             (80, 200),
         ),
+        # left-only banded-MXU horizontal pass (the round-4 default) at
+        # its TIGHT wrap bound: r=16 -> TXS=96, K=33, 129-TXS = K exactly
+        (
+            "sep_lo r16 D32 (TXS=96, tight band)",
+            base.replace(asw_separable=True, asw_symmetric=False,
+                         window_radius=16, max_disparity=32,
+                         kernel_layout="dlanes"),
+            (64, 200),
+        ),
+        # bf16 volume-storage mode (round 4): gate vs the jnp f32 path —
+        # quantization drift must stay inside the smoke agreement bound
+        (
+            "sep_sym r4 D16 bf16vol",
+            base.replace(asw_separable=True, window_radius=4,
+                         max_disparity=16, volume_dtype="bfloat16",
+                         kernel_layout="dlanes"),
+            (40, 160),
+        ),
     ]
     if quick:
         cases = cases[:3]
