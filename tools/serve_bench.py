@@ -1,0 +1,132 @@
+"""Load-test the serving daemon: request-latency percentiles on the chip.
+
+Spawns `tools/serve.py` (or targets a running one with --port), drives it
+with concurrent TCP clients sending KITTI-geometry pairs at the
+production preset (kitti_sep config), and reports per-request latency
+p50/p90/p99 + aggregate throughput.  This is the SURVEY §5
+metrics/observability row's missing measurement (VERDICT round 3 item 7):
+`tools/serve.py` existed with no recorded numbers.
+
+Each request ships 2 x H x W x 3 f32 over loopback (~10.6 MB at KITTI) —
+wire time is part of the measured request latency, as it would be in
+deployment.  Writes bench_results/serve_bench.json.
+
+Usage: python tools/serve_bench.py [--requests 100] [--clients 4]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import socket
+import subprocess
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+from tools.serve import send_request
+
+
+CFG = dict(
+    max_disparity=128, cost="tad_grad", aggregation="asw", window_radius=16,
+    asw_separable=True, y_chunks=8,
+)
+
+
+def client(port, pairs, n_req, lat, errors, barrier):
+    sock = socket.create_connection(("127.0.0.1", port), timeout=600)
+    try:
+        left, right = pairs
+        # connection warmup (first request may pay AOT-load + program load)
+        send_request(sock, left, right, CFG)
+        barrier.wait()
+        for _ in range(n_req):
+            t0 = time.perf_counter()
+            _, hdr = send_request(sock, left, right, CFG)
+            lat.append(time.perf_counter() - t0)
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"{type(e).__name__}: {e}")
+    finally:
+        sock.close()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=100, help="total requests")
+    ap.add_argument("--clients", type=int, default=4)
+    ap.add_argument("--port", type=int, default=0,
+                    help="target a running server instead of spawning one")
+    args = ap.parse_args()
+
+    from aswstereomatch_tpu.utils import synthetic
+
+    pair = synthetic.make_pair(height=375, width=1242, max_disparity=128,
+                               seed=0)
+    pairs = (np.asarray(pair["left"], np.float32),
+             np.asarray(pair["right"], np.float32))
+
+    proc = None
+    port = args.port
+    if not port:
+        port = 9461
+        proc = subprocess.Popen(
+            [sys.executable, os.path.join(REPO, "tools", "serve.py"),
+             "--port", str(port)],
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        # wait for the listener
+        for _ in range(120):
+            try:
+                socket.create_connection(("127.0.0.1", port), timeout=1).close()
+                break
+            except OSError:
+                time.sleep(1)
+    try:
+        lat, errors = [], []
+        per = args.requests // args.clients
+        barrier = threading.Barrier(args.clients)
+        threads = [
+            threading.Thread(target=client,
+                             args=(port, pairs, per, lat, errors, barrier))
+            for _ in range(args.clients)
+        ]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        if errors:
+            print("ERRORS:", errors)
+            return 1
+        ms = np.sort(np.array(lat) * 1e3)
+        rec = {
+            "preset": "kitti_sep",
+            "requests": len(lat),
+            "clients": args.clients,
+            "p50_ms": float(np.percentile(ms, 50)),
+            "p90_ms": float(np.percentile(ms, 90)),
+            "p99_ms": float(np.percentile(ms, 99)),
+            "max_ms": float(ms[-1]),
+            "throughput_pairs_per_s": len(lat) / wall,
+            "note": "loopback TCP incl. 10.6 MB/request wire transfer; "
+            "single chip, device access serialized across client threads",
+        }
+        with open(os.path.join(REPO, "bench_results", "serve_bench.json"),
+                  "w") as f:
+            json.dump(rec, f, indent=2)
+        print(json.dumps(rec, indent=2))
+        return 0
+    finally:
+        if proc is not None:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -85,8 +85,18 @@ def fuzz_dwindow_trials(n_trials: int, seed0: int, failures: list) -> None:
         d0 = k * ds
         exp_d = d0 + np.argmin(vol[..., d0:d0 + ds], axis=-1)
         exp_rd = d0 + np.argmin(volr[..., d0:d0 + ds], axis=-1)
+        exp_rc = np.min(volr[..., d0:d0 + ds], axis=-1)
         agree = float(np.mean(bestd == exp_d))
-        ragree = float(np.mean(rbestd == exp_rd))
+        # Right-view disparity is meaningful only where the shard's window
+        # has a valid candidate (x' + d < W for some in-window d); where
+        # every candidate is invalid both sides carry an inf cost with an
+        # arbitrary placeholder d — the combine resolves those by cost.
+        has_cand = np.isfinite(exp_rc)
+        inf_match = float(np.mean(np.isfinite(rbestc) == has_cand))
+        ragree = float(
+            np.mean(rbestd[has_cand] == exp_rd[has_cand])
+        ) if has_cand.any() else 1.0
+        ragree = min(ragree, inf_match)
         cerr = float(np.max(np.abs(
             bestc - np.take_along_axis(vol, bestd[..., None], -1)[..., 0])))
         ok = agree > 0.995 and ragree > 0.995 and cerr < 1e-2
