@@ -284,6 +284,26 @@ PRESETS = {
         median_filter=True,
         mesh_tile=4,
     ),
+    # Maximum-throughput production mode (round 4): separable LEFT-ONLY
+    # ASW on the banded-MXU horizontal pass — 32.9 pairs/s queued at KITTI
+    # on one v5e chip (bench_results/seplo_kitti_refresh.json), bad-2.0
+    # delta vs exact-GT 0.06% on the smooth regime.  Left-only weights are
+    # an approximation of Yoon-Kweon's symmetric weighting (SURVEY §7
+    # "decide by measurement"); accuracy pinned on the hard regime in
+    # tests/test_accuracy_regression.py ("seplo" rows).
+    "kitti_seplo": StereoConfig(
+        max_disparity=128,
+        cost="tad_grad",
+        aggregation="asw",
+        window_radius=16,
+        asw_separable=True,
+        asw_symmetric=False,
+        lr_check=True,
+        fill_holes=True,
+        subpixel=True,
+        median_filter=True,
+        mesh_tile=4,
+    ),
 }
 
 

@@ -29,6 +29,7 @@ import time
 import warnings
 
 import jax
+import jax.numpy as jnp
 
 # Repo-level default cache dir.  LOCAL-ONLY: artifacts are machine/device
 # bound and .gitignore'd (a KITTI executable is ~77 MB) — the cache is
@@ -225,15 +226,21 @@ def cached_match_pair(cfg, left, right):
 
     One canonical key scheme for every tool (bench, serve, sweeps) — a
     drifted key_parts in one call site would silently fork the on-disk
-    cache namespace."""
-    import functools
+    cache namespace.
 
+    Inputs may be uint8 (the serving wire format): the widen to float32
+    happens on device inside the compiled program.  For float32 inputs the
+    astype is an identity the compiler erases, so the f32 cache key and
+    executable are unchanged."""
     from ..models import pipeline
 
+    def entry(l, r):
+        return pipeline.match_pair(
+            l.astype(jnp.float32), r.astype(jnp.float32), cfg
+        )
+
     return compile_cached(
-        functools.partial(pipeline.match_pair, cfg=cfg),
-        (left, right),
-        key_parts=("match_pair", cfg.config_hash()),
+        entry, (left, right), key_parts=("match_pair", cfg.config_hash())
     )
 
 

@@ -56,6 +56,19 @@ def test_serve_end_to_end(tmp_path):
                                        {"aggregation": "bogus"})
             d3, _ = serve_mod.send_request(sock, pair["left"], pair["right"], cfgd)
             assert np.array_equal(d3, d1)
+            # uint8 wire format: synthetic pairs are integral [0, 255], so
+            # the u8 request is lossless and must match the f32-wire result
+            # exactly (the widen to f32 happens on device).
+            du, _ = serve_mod.send_request(
+                sock, pair["left"].astype(np.uint8),
+                pair["right"].astype(np.uint8), cfgd, dtype="uint8")
+            assert np.array_equal(du, d1)
+            # preset + override config path
+            dp, _ = serve_mod.send_request(
+                sock, pair["left"], pair["right"],
+                {"preset": "tsukuba_ad_box", "max_disparity": 8,
+                 "window_radius": 2})
+            assert dp.shape == d1.shape
     finally:
         proc.terminate()
         proc.wait(timeout=10)
