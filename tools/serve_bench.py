@@ -40,18 +40,22 @@ from tools.serve import send_request
 CFG = dict(preset="kitti_sep")
 
 
-def client(port, pairs, n_req, lat, srv_ms, errors, barrier, dtype):
+def client(port, pairs, n_req, lat, srv_ms, spans, errors, barrier, dtype):
     sock = socket.create_connection(("127.0.0.1", port), timeout=600)
     try:
         left, right = pairs
-        # connection warmup (first request may pay AOT-load + program load)
+        # connection warmup (first request may pay AOT-load/compile + program
+        # load) — excluded from the measured span, which starts at the
+        # barrier so one client's compile can't inflate the phase wall time.
         send_request(sock, left, right, CFG, dtype=dtype)
         barrier.wait()
+        start = time.perf_counter()
         for _ in range(n_req):
             t0 = time.perf_counter()
             _, hdr = send_request(sock, left, right, CFG, dtype=dtype)
             lat.append(time.perf_counter() - t0)
             srv_ms.append(hdr["elapsed_ms"])
+        spans.append((start, time.perf_counter()))
     except Exception as e:  # noqa: BLE001
         errors.append(f"{type(e).__name__}: {e}")
     finally:
@@ -95,26 +99,25 @@ def main():
             wire_pairs = pairs
             if dtype == "uint8":
                 wire_pairs = tuple(p.astype(np.uint8) for p in pairs)
-            lat, srv_ms, errors = [], [], []
+            lat, srv_ms, spans, errors = [], [], [], []
             per = args.requests // args.clients
             barrier = threading.Barrier(args.clients)
             threads = [
                 threading.Thread(
                     target=client,
-                    args=(port, wire_pairs, per, lat, srv_ms, errors,
+                    args=(port, wire_pairs, per, lat, srv_ms, spans, errors,
                           barrier, dtype),
                 )
                 for _ in range(args.clients)
             ]
-            t0 = time.perf_counter()
             for t in threads:
                 t.start()
             for t in threads:
                 t.join()
-            wall = time.perf_counter() - t0
             if errors:
                 print("ERRORS:", errors)
                 return 1
+            wall = max(e for _, e in spans) - min(s for s, _ in spans)
             ms = np.sort(np.array(lat) * 1e3)
             rec["wire"][dtype] = {
                 "requests": len(lat),
