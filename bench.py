@@ -48,6 +48,13 @@ GEOM = {
         height=375, width=1242, max_disparity=128, window_radius=16,
         asw_separable=True, y_chunks=8,
     ),
+    # Maximum-throughput mode: separable LEFT-ONLY weights on the
+    # banded-MXU horizontal pass (config preset kitti_seplo; accuracy
+    # pinned in tests/test_accuracy_regression.py seplo rows).
+    "kitti_seplo": dict(
+        height=375, width=1242, max_disparity=128, window_radius=16,
+        asw_separable=True, asw_symmetric=False, y_chunks=8,
+    ),
     "middlebury": dict(height=375, width=450, max_disparity=64, window_radius=16),
     "tsukuba": dict(height=288, width=384, max_disparity=16, window_radius=16),
 }
@@ -140,6 +147,7 @@ def _bench_setup(preset: str, backend: str):
         cost="tad_grad",
         aggregation=g.get("aggregation", "asw"),
         asw_separable=g.get("asw_separable", False),
+        asw_symmetric=g.get("asw_symmetric", True),
         window_radius=g["window_radius"],
         lr_check=True,
         fill_holes=True,
@@ -229,7 +237,7 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
         "metric": f"stereo pairs/s/chip, {preset} ({g['width']}x{g['height']}, "
         f"D={g['max_disparity']}, {g.get('aggregation', 'asw').upper()} "
         f"{2*g['window_radius']+1}x{2*g['window_radius']+1}"
-        f"{' symmetric' if g.get('aggregation', 'asw') == 'asw' else ''}"
+        f"{(' symmetric' if g.get('asw_symmetric', True) else ' left-only') if g.get('aggregation', 'asw') == 'asw' else ''}"
         f"{' separable' if g.get('asw_separable') else ''}"
         " + full postprocess; sustained queued throughput)",
         "value": round(rate, 4),
