@@ -46,6 +46,11 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     ap.add_argument("--geom", default="kitti")
     ap.add_argument("--out", default="bench_results/sep_vs_exact_kitti.json")
+    ap.add_argument("--left-only", action="store_true",
+                    help="measure the separable LEFT-ONLY mode (kitti_seplo) "
+                    "against the same exact-symmetric baseline; writes to "
+                    "--out (pass a distinct path, e.g. "
+                    "bench_results/seplo_vs_exact_kitti.json)")
     args = ap.parse_args()
 
     import jax
@@ -63,7 +68,8 @@ def main():
         median_filter=True,
     )
     cfg_exact = StereoConfig(**base)
-    cfg_sep = StereoConfig(**base, asw_separable=True)
+    cfg_sep = StereoConfig(**base, asw_separable=True,
+                           asw_symmetric=not args.left_only)
 
     regimes = [
         ("smooth", lambda s: synthetic.make_pair(
