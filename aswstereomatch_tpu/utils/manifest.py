@@ -66,17 +66,18 @@ def run_sweep(
     config_hash: str,
     batch_size: int = 1,
     flush_every: int = 1,
-    pass_next: bool = False,
+    pass_next: "bool | int" = False,
 ):
     """Run process_fn(pair_id) -> dict over all pairs with resume.
 
     Returns the full results dict.  ``process_fn`` failures propagate after
     the manifest is flushed, so completed work is never lost.
 
-    With ``pass_next`` the callback is invoked as
-    ``process_fn(pid, next_pid=<successor or None>)`` so it can enqueue the
-    next pair's device work before blocking on the current one (software
-    pipelining — overlaps host IO and dispatch latency with compute).
+    With ``pass_next`` truthy the callback is invoked as
+    ``process_fn(pid, next_pids=<tuple of the next int(pass_next) pending
+    ids>)`` so it can keep a submit-ahead queue of device work that deep
+    before blocking on the current pair (software pipelining — overlaps
+    host IO and dispatch latency with compute; ``True`` means depth 1).
     """
     m = SweepManifest(manifest_path, config_hash)
     todo = m.pending(pair_ids)
@@ -84,8 +85,12 @@ def run_sweep(
     try:
         for i, pid in enumerate(todo):
             if pass_next:
-                nxt = todo[i + 1] if i + 1 < len(todo) else None
-                rec = process_fn(pid, next_pid=nxt)
+                # Window of upcoming ids (pass_next=True -> 1, an int ->
+                # that many): the callback keeps a submit-ahead queue of
+                # device work this deep, so host decode/encode and the
+                # per-dispatch tunnel round trips overlap device compute.
+                depth = int(pass_next)
+                rec = process_fn(pid, next_pids=todo[i + 1 : i + 1 + depth])
             else:
                 rec = process_fn(pid)
             m.record(pid, rec)

@@ -59,6 +59,8 @@ def main(argv=None):
     ap.add_argument("--window-radius", type=int)
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas"])
     ap.add_argument("--manifest", default=None)
+    ap.add_argument("--queue-depth", type=int, default=4,
+                    help="submit-ahead depth (in-flight device pairs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -102,35 +104,50 @@ def main(argv=None):
     fns: dict = {}
 
     def get_fn(l, r):
-        key = l.shape
+        key = (l.shape, str(l.dtype))
         if key not in fns:
             fns[key], _src = aotcache.cached_match_pair(cfg, l, r)
         return fns[key]
 
-    # Software pipelining: submit pair k+1 before fetching pair k, so host
-    # decode/encode and the per-dispatch tunnel round trip overlap device
-    # compute (the same queued-throughput effect bench.py measures — up to
-    # ~8x on dispatch-bound small geometries).
+    # Software pipelining: keep a submit-ahead queue of device work (depth
+    # args.queue_depth) so host decode/encode and the per-dispatch tunnel
+    # round trips overlap device compute.  Round-4 measurement at KITTI:
+    # depth 1 + f32 transfer sustained ~2 pairs/s wall against a 17.9
+    # pairs/s device rate — the per-pair f32 H2D through the ~120 MB/s
+    # tunnel plus a sync per pair dominated; uint8 transfer (PPM sources
+    # are 8-bit, so the cast is lossless and the compiled program widens
+    # on device) cuts the transfer 4x and a deeper queue hides the rest.
     pending: dict = {}
 
     def submit(pid: str):
         left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
         right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
-        l, r = jnp.asarray(left), jnp.asarray(right)
-        pending[pid] = get_fn(l, r)(l, r)
+        # PNM sources are 8-bit: ship uint8, widen on device (lossless).
+        l = jnp.asarray(left.astype(np.uint8))
+        r = jnp.asarray(right.astype(np.uint8))
+        out = get_fn(l, r)(l, r)
+        # Stage the device->host copy now: by the time this pair's turn
+        # comes the transfer has already ridden the tunnel behind the
+        # compute, so np.asarray below returns from a local buffer.
+        try:
+            out.copy_to_host_async()
+        except Exception:  # noqa: BLE001 - optional fast path
+            pass
+        pending[pid] = out
 
-    def process(pid: str, next_pid=None) -> dict:
+    def process(pid: str, next_pids=()) -> dict:
         if pid not in pending:
             submit(pid)
-        if next_pid is not None and next_pid not in pending:
-            # Enqueue the successor before we block — but never let ITS
-            # failure (missing/corrupt files) discard the current pair's
-            # finished computation or manifest record; the successor's own
-            # turn re-raises with correct attribution.
-            try:
-                submit(next_pid)
-            except Exception:  # noqa: BLE001
-                pass
+        for nxt in next_pids:
+            if nxt not in pending:
+                # Enqueue successors before we block — but never let THEIR
+                # failure (missing/corrupt files) discard the current
+                # pair's finished computation or manifest record; each
+                # successor's own turn re-raises with correct attribution.
+                try:
+                    submit(nxt)
+                except Exception:  # noqa: BLE001
+                    break
         disp = np.asarray(pending.pop(pid))
         io.write_pfm(os.path.join(args.dir, f"{pid}_disp.pfm"), disp)
         rec = {"id": pid}
@@ -148,7 +165,7 @@ def main(argv=None):
     with devlock.device_lock("sweep", timeout_s=300):
         results = manifest.run_sweep(
             pair_ids, process, mpath, cfg.config_hash(), flush_every=1,
-            pass_next=True,
+            pass_next=max(1, args.queue_depth),
         )
     done = [r for r in results.values() if r]
     bad2 = [r["bad_2"] for r in done if "bad_2" in r]
