@@ -138,6 +138,16 @@ def main(argv=None):
         # the device topology.
         from aswstereomatch_tpu.utils import aotcache
 
+        # 8-bit sources (PNG/PNM) ship to the device as uint8 — 4x less
+        # host-to-device transfer, lossless (the compiled program widens
+        # to f32 on device); non-integral inputs (PFM floats) stay f32.
+        # Only this branch: the sharded path's jit expects float input.
+        if all(
+            float(np.min(a)) >= 0 and float(np.max(a)) <= 255
+            and np.array_equal(a, np.floor(a)) for a in (left, right)
+        ):
+            l_dev = jnp.asarray(left.astype(np.uint8))
+            r_dev = jnp.asarray(right.astype(np.uint8))
         fn, _src = aotcache.cached_match_pair(cfg, l_dev, r_dev)
     else:
         fn = jax.jit(parallel_api.sharded_match_fn(cfg))
