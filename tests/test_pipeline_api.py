@@ -37,3 +37,25 @@ def test_config_hash_stable_and_distinct():
     b = asm.StereoConfig(max_disparity=32)
     assert a.config_hash() == asm.StereoConfig().config_hash()
     assert a.config_hash() != b.config_hash()
+
+
+def test_uint8_inputs_match_float32_exactly():
+    """The serving/sweep/cli uint8 transfer path: cached_match_pair accepts
+    uint8 inputs (widened to f32 on device inside the compiled program) and
+    must produce bit-identical disparities to the f32 call for integral
+    [0, 255] images."""
+    import jax.numpy as jnp
+
+    from aswstereomatch_tpu.utils import aotcache, synthetic
+
+    pair = synthetic.make_pair(height=32, width=48, max_disparity=8, seed=0)
+    cfg = asm.StereoConfig(max_disparity=8, cost="tad_grad",
+                           aggregation="asw", window_radius=3)
+    lf, rf = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    l8 = jnp.asarray(pair["left"].astype(np.uint8))
+    r8 = jnp.asarray(pair["right"].astype(np.uint8))
+    fn_f, _ = aotcache.cached_match_pair(cfg, lf, rf)
+    fn_8, _ = aotcache.cached_match_pair(cfg, l8, r8)
+    np.testing.assert_array_equal(
+        np.asarray(fn_8(l8, r8)), np.asarray(fn_f(lf, rf))
+    )
