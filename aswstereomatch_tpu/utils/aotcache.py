@@ -21,7 +21,6 @@ TPU-native equivalent of shipping a prebuilt binary.
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import os
 import pickle
