@@ -61,6 +61,11 @@ def main(argv=None):
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--queue-depth", type=int, default=4,
                     help="submit-ahead depth (in-flight device pairs)")
+    ap.add_argument("--fetch", choices=["u16", "f32"], default="u16",
+                    help="disparity device->host format: u16 = x256 "
+                    "fixed point (the KITTI on-disk encoding, 1/256 px "
+                    "quantization, 0 = invalid — halves the fetch bytes "
+                    "through the tunnel); f32 = exact pipeline output")
     args = ap.parse_args(argv)
 
     import jax
@@ -119,6 +124,18 @@ def main(argv=None):
     # on device) cuts the transfer 4x and a deeper queue hides the rest.
     pending: dict = {}
 
+    # uint16 x256 fixed-point device->host encoding (--fetch u16): the
+    # per-pair D2H of a fresh f32 disparity measured 85-113 ms through the
+    # ~25 MB/s-effective tunnel — the sweep's largest steady-state term.
+    # x256 is the literal KITTI on-disk convention (1/256 px steps, far
+    # below the kernels' 1/16 px argmin quantum; negative/invalid -> 0,
+    # KITTI's invalid code), and halving the bytes halves the fetch.
+    @jax.jit
+    def _enc_u16(disp):
+        return jnp.clip(
+            jnp.round(disp * 256.0), 0, 65535
+        ).astype(jnp.uint16)
+
     def submit(pid: str):
         left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
         right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
@@ -126,6 +143,8 @@ def main(argv=None):
         l = jnp.asarray(left.astype(np.uint8))
         r = jnp.asarray(right.astype(np.uint8))
         out = get_fn(l, r)(l, r)
+        if args.fetch == "u16":
+            out = _enc_u16(out)
         # Stage the device->host copy now: by the time this pair's turn
         # comes the transfer has already ridden the tunnel behind the
         # compute, so np.asarray below returns from a local buffer.
@@ -149,6 +168,8 @@ def main(argv=None):
                 except Exception:  # noqa: BLE001
                     break
         disp = np.asarray(pending.pop(pid))
+        if disp.dtype == np.uint16:
+            disp = disp.astype(np.float32) / 256.0
         io.write_pfm(os.path.join(args.dir, f"{pid}_disp.pfm"), disp)
         rec = {"id": pid}
         gt_path = os.path.join(args.dir, f"{pid}_gt.pfm")
