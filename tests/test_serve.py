@@ -69,6 +69,15 @@ def test_serve_end_to_end(tmp_path):
                 {"preset": "tsukuba_ad_box", "max_disparity": 8,
                  "window_radius": 2})
             assert dp.shape == d1.shape
+            # uint16_x256 response format: KITTI fixed-point encoding —
+            # must match f32 within the 1/512 px rounding bound
+            du16, hu = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd,
+                response_dtype="uint16_x256")
+            assert hu["dtype"] == "uint16_x256"
+            valid = d1 >= 0
+            assert np.max(np.abs(du16 - d1)[valid]) <= 1 / 512 + 1e-6
+            assert np.all(du16[~valid] == 0)
     finally:
         proc.terminate()
         proc.wait(timeout=10)

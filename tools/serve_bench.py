@@ -40,19 +40,22 @@ from tools.serve import send_request
 CFG = dict(preset="kitti_sep")
 
 
-def client(port, pairs, n_req, lat, srv_ms, spans, errors, barrier, dtype):
+def client(port, pairs, n_req, lat, srv_ms, spans, errors, barrier, dtype,
+           rdtype):
     sock = socket.create_connection(("127.0.0.1", port), timeout=600)
     try:
         left, right = pairs
         # connection warmup (first request may pay AOT-load/compile + program
         # load) — excluded from the measured span, which starts at the
         # barrier so one client's compile can't inflate the phase wall time.
-        send_request(sock, left, right, CFG, dtype=dtype)
+        send_request(sock, left, right, CFG, dtype=dtype,
+                     response_dtype=rdtype)
         barrier.wait()
         start = time.perf_counter()
         for _ in range(n_req):
             t0 = time.perf_counter()
-            _, hdr = send_request(sock, left, right, CFG, dtype=dtype)
+            _, hdr = send_request(sock, left, right, CFG, dtype=dtype,
+                                  response_dtype=rdtype)
             lat.append(time.perf_counter() - t0)
             srv_ms.append(hdr["elapsed_ms"])
         spans.append((start, time.perf_counter()))
@@ -95,7 +98,11 @@ def main():
                 time.sleep(1)
     try:
         rec = {"preset": "kitti_sep", "clients": args.clients, "wire": {}}
-        for dtype in ("float32", "uint8"):
+        for dtype, rdtype in (
+            ("float32", "float32"),
+            ("uint8", "float32"),
+            ("uint8", "uint16_x256"),
+        ):
             wire_pairs = pairs
             if dtype == "uint8":
                 wire_pairs = tuple(p.astype(np.uint8) for p in pairs)
@@ -106,7 +113,7 @@ def main():
                 threading.Thread(
                     target=client,
                     args=(port, wire_pairs, per, lat, srv_ms, spans, errors,
-                          barrier, dtype),
+                          barrier, dtype, rdtype),
                 )
                 for _ in range(args.clients)
             ]
@@ -119,7 +126,7 @@ def main():
                 return 1
             wall = max(e for _, e in spans) - min(s for s, _ in spans)
             ms = np.sort(np.array(lat) * 1e3)
-            rec["wire"][dtype] = {
+            rec["wire"][f"{dtype}->{rdtype}"] = {
                 "requests": len(lat),
                 "p50_ms": float(np.percentile(ms, 50)),
                 "p90_ms": float(np.percentile(ms, 90)),
@@ -130,13 +137,16 @@ def main():
                 "throughput_pairs_per_s": len(lat) / wall,
             }
         rec["note"] = (
-            "loopback TCP incl. wire transfer (21 MB/request f32, 5.3 MB "
-            "uint8); single chip, device access serialized across client "
-            "threads; server_side = H2D + compute + sync, excluding wire. "
-            "Request latency here is tunnel-dominated: device compute is "
-            "56 ms/pair (headline_variance.json) and each request pays "
-            "fresh-input H2D through the ~120 MB/s axon tunnel; on a "
-            "machine-local TPU the same H2D rides PCIe at >10 GB/s."
+            "wire key is request->response dtype; loopback TCP incl. wire "
+            "transfer (21 MB/request f32, 5.3 MB uint8; response 1.8 MB "
+            "f32, 0.9 MB uint16_x256 — the KITTI fixed-point encoding, "
+            "1/256 px); single chip, device access serialized across "
+            "client threads; server_side = H2D + compute + D2H + sync, "
+            "excluding wire. Request latency here is tunnel-dominated: "
+            "device compute is 56 ms/pair (headline_variance.json), each "
+            "request pays fresh-input H2D (~120 MB/s) and disparity D2H "
+            "(~16-25 MB/s) through the axon tunnel; on a machine-local "
+            "TPU both ride PCIe at >10 GB/s."
         )
         with open(os.path.join(REPO, "bench_results", "serve_bench.json"),
                   "w") as f:
