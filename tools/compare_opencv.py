@@ -42,7 +42,9 @@ def run(geoms, out_path):
     rows = []
     for name in geoms:
         h, w, D = synthetic.GEOMETRIES[name]
-        pair = synthetic.make_pair(height=h, width=w, max_disparity=D, seed=7)
+        # make_dataset_pair applies the per-scene seed offset, so
+        # same-shape scenes (teddy vs cones) get DIFFERENT content.
+        pair = synthetic.make_dataset_pair(name, seed=7)
         left, right, gt = pair["left"], pair["right"], pair["gt"]
         nonocc = ~pair["occluded"]
         gl = cv2.cvtColor(left.astype(np.uint8), cv2.COLOR_RGB2GRAY)
