@@ -145,13 +145,23 @@ class _Handler(socketserver.BaseRequestHandler):
                 if rdtype not in ("float32", "uint16_x256"):
                     raise ValueError(f"unsupported response_dtype {rdtype}")
                 t0 = time.perf_counter()
-                disp = cache[key](jnp.asarray(left), jnp.asarray(right))
+                l_dev, r_dev = jnp.asarray(left), jnp.asarray(right)
+                disp = cache[key](l_dev, r_dev)
                 if rdtype == "uint16_x256":
                     # Encode on device: halves the D2H fetch (the largest
                     # per-request term after compute through the tunnel).
                     disp = self.server.enc_u16(disp)
                 profiling.force_sync(disp)
+                # Eagerly free the input device arrays: the axon tunnel
+                # retains host memory per fresh-array H2D (measured
+                # 0.7-2.7 MB/request, linear, no plateau — an upstream
+                # plugin leak, bisected in PERF_NOTES round 4); explicit
+                # delete halves the rate. The RSS self-limit below
+                # contains the rest.
+                l_dev.delete()
+                r_dev.delete()
                 disp = np.asarray(disp)
+                self.server.check_rss()
                 rheader = {
                     "status": "ok",
                     "height": disp.shape[0],
@@ -174,12 +184,50 @@ class Server(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self, addr):
+    # Serving processes accumulate host RSS from an upstream axon-tunnel
+    # per-H2D retention (see handler comment). The daemon is stateless
+    # (AOT executable cache on disk; a warm restart costs ~1-2 s), so the
+    # production containment is self-recycling: past the RSS limit the
+    # server finishes the in-flight response, closes the listener, and
+    # exits with code 42 for a supervisor loop to restart
+    # (`while :; do python tools/serve.py ...; [ $? -eq 42 ] || break; done`).
+    RSS_EXIT_CODE = 42
+
+    def __init__(self, addr, max_rss_mb: float = 8192):
         super().__init__(addr, _Handler)
         self.fn_cache = {}
+        self.max_rss_mb = max_rss_mb
+        self.recycling = False
         import threading
 
         self.compile_lock = threading.Lock()
+
+    def check_rss(self):
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS"):
+                        rss_mb = int(line.split()[1]) / 1024
+                        break
+                else:
+                    return
+        except OSError:
+            return
+        if rss_mb > self.max_rss_mb and not self.recycling:
+            import threading
+
+            self.recycling = True
+            print(
+                f"RSS {rss_mb:.0f} MB > limit {self.max_rss_mb} MB; "
+                f"recycling (exit {self.RSS_EXIT_CODE})",
+                file=sys.stderr, flush=True,
+            )
+            # shutdown() must come from another thread (it joins the
+            # serve_forever loop); the MAIN thread then exits with
+            # os._exit, skipping interpreter/runtime teardown — a normal
+            # exit with handler threads mid-tunnel-RPC SIGABRTs in the
+            # plugin ("exception not rethrown", observed live).
+            threading.Thread(target=self.shutdown, daemon=True).start()
 
     @functools.cached_property
     def enc_u16(self):
@@ -256,6 +304,10 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="force the jax platform (the axon plugin ignores "
                          "JAX_PLATFORMS env vars)")
+    ap.add_argument("--max-rss-mb", type=float, default=8192,
+                    help="self-recycle (exit 42) past this RSS — contains "
+                    "the upstream per-request host-memory retention; a "
+                    "supervisor loop restarts the stateless daemon in ~1-2 s")
     ap.add_argument("--self-test", action="store_true")
     args = ap.parse_args()
     if args.platform:
@@ -267,7 +319,7 @@ def main():
     from aswstereomatch_tpu.utils import devlock
 
     if args.platform == "cpu":
-        srv = Server((args.host, args.port))
+        srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb)
         print(f"serving on {args.host}:{args.port}", flush=True)
         srv.serve_forever()
     else:
@@ -275,9 +327,13 @@ def main():
         # alongside a live server would silently queue behind it (device
         # access is serialized); with the lock they fail fast, naming us.
         with devlock.device_lock("serve", timeout_s=60):
-            srv = Server((args.host, args.port))
+            srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb)
             print(f"serving on {args.host}:{args.port}", flush=True)
             srv.serve_forever()
+    if srv.recycling:
+        # Immediate exit: a normal interpreter teardown with handler
+        # threads mid-tunnel-RPC aborts in the plugin (observed SIGABRT).
+        os._exit(Server.RSS_EXIT_CODE)
 
 
 if __name__ == "__main__":
