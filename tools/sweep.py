@@ -152,7 +152,12 @@ def main(argv=None):
             out.copy_to_host_async()
         except Exception:  # noqa: BLE001 - optional fast path
             pass
-        pending[pid] = out
+        # Keep the input arrays: they are deleted once this pair's result
+        # is fetched (computation provably complete) — the axon tunnel
+        # retains host memory per fresh-array H2D otherwise (~2.8 MB/pair;
+        # PERF_NOTES round 4 "Serving soak"), which adds up on
+        # thousand-pair sweeps.
+        pending[pid] = (out, l, r)
 
     def process(pid: str, next_pids=()) -> dict:
         if pid not in pending:
@@ -167,7 +172,13 @@ def main(argv=None):
                     submit(nxt)
                 except Exception:  # noqa: BLE001
                     break
-        disp = np.asarray(pending.pop(pid))
+        out, l_dev, r_dev = pending.pop(pid)
+        disp = np.asarray(out)
+        for a in (l_dev, r_dev):
+            try:
+                a.delete()
+            except Exception:  # noqa: BLE001 - best-effort release
+                pass
         if disp.dtype == np.uint16:
             disp = disp.astype(np.float32) / 256.0
         io.write_pfm(os.path.join(args.dir, f"{pid}_disp.pfm"), disp)
