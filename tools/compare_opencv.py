@@ -30,7 +30,7 @@ if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def run(geoms, out_path):
+def run(geoms, out_path, regime="smooth"):
     import cv2
     import jax
     import jax.numpy as jnp
@@ -42,9 +42,15 @@ def run(geoms, out_path):
     rows = []
     for name in geoms:
         h, w, D = synthetic.GEOMETRIES[name]
-        # make_dataset_pair applies the per-scene seed offset, so
-        # same-shape scenes (teddy vs cones) get DIFFERENT content.
-        pair = synthetic.make_dataset_pair(name, seed=7)
+        if regime == "hard":
+            # Adversarial scenes (sensor noise, textureless patches,
+            # brightness/contrast mismatch between views) — the regime
+            # where robust aggregation separates methods.
+            pair = synthetic.make_hard_pair(h, w, D, seed=7)
+        else:
+            # make_dataset_pair applies the per-scene seed offset, so
+            # same-shape scenes (teddy vs cones) get DIFFERENT content.
+            pair = synthetic.make_dataset_pair(name, seed=7)
         left, right, gt = pair["left"], pair["right"], pair["gt"]
         nonocc = ~pair["occluded"]
         gl = cv2.cvtColor(left.astype(np.uint8), cv2.COLOR_RGB2GRAY)
@@ -53,8 +59,13 @@ def run(geoms, out_path):
         def score(tag, disp, valid_extra=None):
             valid = nonocc if valid_extra is None else (nonocc & valid_extra)
             rep = evaluate.bad_report(disp, gt, valid=valid)
+            # coverage: fraction of nonocc pixels this method is scored
+            # on — cv2 methods invalidate low-confidence pixels, so their
+            # error rates are over a confident SUBSET (density inside the
+            # mask is 1.0 by construction); ours are dense.
             rows.append(
-                dict(geometry=name, method=tag,
+                dict(geometry=name, method=tag, regime=regime,
+                     coverage=round(float(valid.sum() / nonocc.sum()), 4),
                      **{k: round(v, 5) for k, v in rep.items()})
             )
 
@@ -76,7 +87,10 @@ def run(geoms, out_path):
             fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
             disp = fn(jnp.asarray(left), jnp.asarray(right))
             float(disp[0, 0])
-            score(tag, np.asarray(disp))
+            disp = np.asarray(disp)
+            score(tag, disp)
+            if tag == "ours_asw_full":
+                disp_full = disp
 
         # OpenCV baselines (evaluated where they return valid values)
         bm = cv2.StereoBM_create(numDisparities=D, blockSize=9)
@@ -92,12 +106,18 @@ def run(geoms, out_path):
         ).astype(np.float32) / 16.0
         score("cv2_StereoSGBM", d_sg, d_sg >= 0)
 
+        # Apples-to-apples: OUR dense map scored on exactly the pixels each
+        # cv2 method kept — removes the coverage asymmetry (cv2 methods
+        # invalidate the hardest pixels; our pipeline fills them).
+        score("ours_asw_full@BM_mask", disp_full, d_bm >= 0)
+        score("ours_asw_full@SGBM_mask", disp_full, d_sg >= 0)
+
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(rows, f, indent=2)
 
     # markdown table to stdout
-    keys = ["bad_0.5", "bad_1", "bad_2", "bad_4", "epe"]
+    keys = ["coverage", "bad_0.5", "bad_1", "bad_2", "bad_4", "epe"]
     print("| geometry | method | " + " | ".join(keys) + " |")
     print("|" + "---|" * (2 + len(keys)))
     for r_ in rows:
@@ -113,8 +133,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--geom", nargs="+", default=["tsukuba", "venus"])
     ap.add_argument("--out", default="bench_results/opencv_compare.json")
+    ap.add_argument("--regime", choices=["smooth", "hard"], default="smooth")
     args = ap.parse_args()
-    run(args.geom, args.out)
+    run(args.geom, args.out, regime=args.regime)
 
 
 if __name__ == "__main__":
