@@ -83,12 +83,19 @@ def run(geoms, out_path, regime="smooth"):
                 max_disparity=D, cost="tad_grad", aggregation="asw",
                 window_radius=16, asw_separable=True, lr_check=True,
                 fill_holes=True, subpixel=True, median_filter=True)),
+            # Refuse mode: LR-invalidated pixels stay holes (-1) — the
+            # BM/SGBM-style partial-coverage operating point; scored only
+            # on kept pixels, like the cv2 rows.
+            ("ours_asw_refuse", StereoConfig(
+                max_disparity=D, cost="tad_grad", aggregation="asw",
+                window_radius=16, lr_check=True, fill_holes=False,
+                subpixel=True, median_filter=False)),
         ]:
             fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
             disp = fn(jnp.asarray(left), jnp.asarray(right))
             float(disp[0, 0])
             disp = np.asarray(disp)
-            score(tag, disp)
+            score(tag, disp, (disp >= 0) if tag == "ours_asw_refuse" else None)
             if tag == "ours_asw_full":
                 disp_full = disp
 
