@@ -114,15 +114,24 @@ def main(argv=None):
             fns[key], _src = aotcache.cached_match_pair(cfg, l, r)
         return fns[key]
 
-    # Software pipelining: keep a submit-ahead queue of device work (depth
-    # args.queue_depth) so host decode/encode and the per-dispatch tunnel
-    # round trips overlap device compute.  Round-4 measurement at KITTI:
-    # depth 1 + f32 transfer sustained ~2 pairs/s wall against a 17.9
-    # pairs/s device rate — the per-pair f32 H2D through the ~120 MB/s
-    # tunnel plus a sync per pair dominated; uint8 transfer (PPM sources
-    # are 8-bit, so the cast is lossless and the compiled program widens
-    # on device) cuts the transfer 4x and a deeper queue hides the rest.
+    # Software pipelining: a dedicated SUBMITTER THREAD keeps a queue of
+    # device work (depth args.queue_depth) ahead of the consumer loop, so
+    # decode + H2D + dispatch for upcoming pairs overlap the current
+    # pair's fetch + write + eval on the main thread.  Round-4 ladder at
+    # KITTI (tunnel-attached chip, 120 pairs, steady state):
+    # depth-1 same-thread f32: 2.6 pairs/s -> +uint8 transfer, depth 4,
+    # staged async D2H: 4.8-5.4 -> +uint16 fixed-point fetch: 8.2-9.5 ->
+    # +this submitter thread (host stages overlapped across pairs).
+    # All jax dispatch stays on the worker thread; the main thread only
+    # fetches results and writes/records — the manifest contract (a pair
+    # is recorded done only after its file is written) is unchanged.
+    import threading
+
     pending: dict = {}
+    cond = threading.Condition()
+    sub_queue: list = []
+    queued_ids: set = set()
+    done_flag = [False]
 
     # uint16 x256 fixed-point device->host encoding (--fetch u16): the
     # per-pair D2H of a fresh f32 disparity measured 85-113 ms through the
@@ -136,7 +145,7 @@ def main(argv=None):
             jnp.round(disp * 256.0), 0, 65535
         ).astype(jnp.uint16)
 
-    def submit(pid: str):
+    def _submit_impl(pid: str):
         left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
         right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
         # PNM sources are 8-bit: ship uint8, widen on device (lossless).
@@ -157,22 +166,49 @@ def main(argv=None):
         # retains host memory per fresh-array H2D otherwise (~2.8 MB/pair;
         # PERF_NOTES round 4 "Serving soak"), which adds up on
         # thousand-pair sweeps.
-        pending[pid] = (out, l, r)
+        return (out, l, r)
+
+    def _worker():
+        while True:
+            with cond:
+                while not sub_queue and not done_flag[0]:
+                    cond.wait(0.2)
+                if not sub_queue:
+                    return
+                pid = sub_queue.pop(0)
+            try:
+                res = _submit_impl(pid)
+            except Exception as e:  # noqa: BLE001 - re-raised on pid's turn
+                res = e
+            with cond:
+                pending[pid] = res
+                cond.notify_all()
+
+    worker = threading.Thread(target=_worker, daemon=True)
+    worker.start()
+
+    def queue_submit(pid: str):
+        with cond:
+            if pid in queued_ids:
+                return
+            queued_ids.add(pid)
+            sub_queue.append(pid)
+            cond.notify_all()
 
     def process(pid: str, next_pids=()) -> dict:
-        if pid not in pending:
-            submit(pid)
+        queue_submit(pid)
+        # Enqueue successors before we block — a failed successor submit is
+        # stored and re-raised on ITS OWN turn with correct attribution; it
+        # never discards the current pair's finished computation or record.
         for nxt in next_pids:
-            if nxt not in pending:
-                # Enqueue successors before we block — but never let THEIR
-                # failure (missing/corrupt files) discard the current
-                # pair's finished computation or manifest record; each
-                # successor's own turn re-raises with correct attribution.
-                try:
-                    submit(nxt)
-                except Exception:  # noqa: BLE001
-                    break
-        out, l_dev, r_dev = pending.pop(pid)
+            queue_submit(nxt)
+        with cond:
+            while pid not in pending:
+                cond.wait()
+            res = pending.pop(pid)
+        if isinstance(res, Exception):
+            raise res
+        out, l_dev, r_dev = res
         disp = np.asarray(out)
         for a in (l_dev, r_dev):
             try:
@@ -195,10 +231,16 @@ def main(argv=None):
     from aswstereomatch_tpu.utils import devlock
 
     with devlock.device_lock("sweep", timeout_s=300):
-        results = manifest.run_sweep(
-            pair_ids, process, mpath, cfg.config_hash(), flush_every=1,
-            pass_next=max(1, args.queue_depth),
-        )
+        try:
+            results = manifest.run_sweep(
+                pair_ids, process, mpath, cfg.config_hash(), flush_every=1,
+                pass_next=max(1, args.queue_depth),
+            )
+        finally:
+            with cond:
+                done_flag[0] = True
+                cond.notify_all()
+            worker.join(timeout=30)
     done = [r for r in results.values() if r]
     bad2 = [r["bad_2"] for r in done if "bad_2" in r]
     summary = {
