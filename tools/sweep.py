@@ -204,7 +204,12 @@ def main(argv=None):
             queue_submit(nxt)
         with cond:
             while pid not in pending:
-                cond.wait()
+                if not worker.is_alive():
+                    raise RuntimeError(
+                        "sweep submitter thread died; completed work is in "
+                        "the manifest — re-run to resume"
+                    )
+                cond.wait(0.5)
             res = pending.pop(pid)
         if isinstance(res, Exception):
             raise res
