@@ -147,10 +147,30 @@ class StereoConfig:
             raise ValueError("asw_separable requires aggregation='asw'")
         if self.volume_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unknown volume_dtype {self.volume_dtype!r}")
-        if self.volume_dtype == "bfloat16" and not self.asw_separable:
-            # Consumed only by the separable d-lanes kernel; rejecting the
-            # other paths beats a config that claims bf16 but runs f32.
-            raise ValueError("volume_dtype='bfloat16' requires asw_separable")
+        if self.volume_dtype == "bfloat16":
+            # Consumed only by the separable d-lanes kernel; rejecting
+            # configs that can never route there beats a config that claims
+            # bf16 but silently runs f32 (the statically-decidable half of
+            # the guard; the platform-dependent half — TPU unavailable at
+            # run time — warns in models/pipeline._resolve_backend).
+            # Bounds mirror ops/pallas/asw_sep_dlanes.supports():
+            # D in [2, 128], adaptive tile >= 64 (r <= 32 / K <= 65).
+            if not self.asw_separable:
+                raise ValueError("volume_dtype='bfloat16' requires asw_separable")
+            routable = (
+                2 <= self.max_disparity <= 128
+                and self.window_radius <= 32
+                and self.kernel_layout != "xlanes"
+                and self.backend != "jnp"
+            )
+            if not routable:
+                raise ValueError(
+                    "volume_dtype='bfloat16' is consumed only by the "
+                    "separable d-lanes kernel, which this config cannot "
+                    "route to (requires max_disparity in [2, 128], "
+                    "window_radius <= 32, kernel_layout != 'xlanes', "
+                    "backend != 'jnp')"
+                )
 
     # -- derived --------------------------------------------------------------
     @property

@@ -20,7 +20,6 @@ config.PRESETS are its model zoo.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -165,6 +164,20 @@ def _resolve_backend(cfg: StereoConfig, shape=None) -> str:
     else:
         supported = asw_kernel.supports(cfg)
     if not (supported and jax.default_backend() == "tpu"):
+        if cfg.volume_dtype == "bfloat16":
+            # bf16 volume storage exists only inside the separable d-lanes
+            # kernel; config.__post_init__ rejects statically-unroutable
+            # combinations, so landing here means the platform (or runtime
+            # routing) fell back — the run is f32 despite the declared
+            # dtype, which records/config hashes would otherwise misstate.
+            import warnings
+
+            warnings.warn(
+                "volume_dtype='bfloat16' config resolved to the jnp "
+                "backend (no TPU / unsupported geometry): the run stores "
+                "the volume in float32",
+                stacklevel=3,
+            )
         return "jnp"
     if cfg.aggregation == "box" and shape is not None:
         # The fused box kernel wins 12x at KITTI scale but loses to the
@@ -286,17 +299,58 @@ def match_batch(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig) -> jnp
 
 
 class StereoMatcher:
-    """A configured matcher with cached jitted entry points.
+    """A configured matcher with cached compiled entry points.
 
     >>> m = StereoMatcher.from_preset("middlebury_asw")
     >>> disp = m(left, right)             # single pair
     >>> disps = m.batch(lefts, rights)    # batched
+
+    On TPU, entry points ride the on-disk AOT executable cache
+    (utils/aotcache.py) by default — the same cache bench/serve/sweep use —
+    so a fresh process's first call warm-starts in well under a second on a
+    machine that has compiled this (config, shape, dtype) before, instead
+    of paying the 1-4 min Mosaic compile.  ``use_aot_cache=False`` restores
+    plain ``jax.jit``.  Off-TPU both paths are plain jit (fast compiles; no
+    Mosaic).  Inputs may be uint8 (widened to float32 on device, lossless)
+    or float32; executables are specialized per input shape/dtype.
     """
 
-    def __init__(self, cfg: StereoConfig):
+    def __init__(self, cfg: StereoConfig, *, use_aot_cache: bool = True):
         self.cfg = cfg
-        self._match = jax.jit(functools.partial(match_pair, cfg=cfg))
-        self._match_batch = jax.jit(functools.partial(match_batch, cfg=cfg))
+        self.use_aot_cache = use_aot_cache
+        # AOT executables are shape/dtype-specialized: key per signature.
+        # Off-TPU (or with the cache disabled) entries are plain jits that
+        # tolerate retraces, so one entry serves every signature.
+        self._compiled: dict = {}
+        self.last_compile_source: str | None = None
+        if not use_aot_cache:
+            # Same device-side f32 widening as the cached entries, so the
+            # two paths accept identical inputs (uint8 wire or float32).
+            self._match = jax.jit(
+                lambda l, r: match_pair(
+                    l.astype(jnp.float32), r.astype(jnp.float32), cfg
+                )
+            )
+            self._match_batch = jax.jit(
+                lambda l, r: match_batch(
+                    l.astype(jnp.float32), r.astype(jnp.float32), cfg
+                )
+            )
+
+    def _cached(self, kind: str, left, right):
+        key = (kind, left.shape, str(left.dtype))
+        fn = self._compiled.get(key)
+        if fn is None:
+            from ..utils import aotcache
+
+            get = (
+                aotcache.cached_match_batch
+                if kind == "batch"
+                else aotcache.cached_match_pair
+            )
+            fn, self.last_compile_source = get(self.cfg, left, right)
+            self._compiled[key] = fn
+        return fn
 
     @classmethod
     def from_preset(cls, name: str, **overrides) -> "StereoMatcher":
@@ -321,9 +375,13 @@ class StereoMatcher:
     def __call__(self, left, right):
         left, right = jnp.asarray(left), jnp.asarray(right)
         self._validate(left, right, batched=False)
-        return self._match(left, right)
+        if not self.use_aot_cache:
+            return self._match(left, right)
+        return self._cached("pair", left, right)(left, right)
 
     def batch(self, lefts, rights):
         lefts, rights = jnp.asarray(lefts), jnp.asarray(rights)
         self._validate(lefts, rights, batched=True)
-        return self._match_batch(lefts, rights)
+        if not self.use_aot_cache:
+            return self._match_batch(lefts, rights)
+        return self._cached("batch", lefts, rights)(lefts, rights)

@@ -243,6 +243,23 @@ def cached_match_pair(cfg, left, right):
     )
 
 
+def cached_match_batch(cfg, lefts, rights):
+    """Batched-pipeline analog of ``cached_match_pair``: (callable, source).
+
+    Same canonical key scheme (kind tag + config hash + shapes/dtypes);
+    uint8 wire inputs widen to float32 on device."""
+    from ..models import pipeline
+
+    def entry(l, r):
+        return pipeline.match_batch(
+            l.astype(jnp.float32), r.astype(jnp.float32), cfg
+        )
+
+    return compile_cached(
+        entry, (lefts, rights), key_parts=("match_batch", cfg.config_hash())
+    )
+
+
 def compile_cached(fn, args, key_parts, *, static_key: str | None = None):
     """AOT-compile ``fn(*args)`` with disk caching.
 

@@ -59,3 +59,45 @@ def test_uint8_inputs_match_float32_exactly():
     np.testing.assert_array_equal(
         np.asarray(fn_8(l8, r8)), np.asarray(fn_f(lf, rf))
     )
+
+
+def test_matcher_rides_aot_cache_and_escape_hatch():
+    """StereoMatcher defaults onto the AOT executable cache machinery
+    (utils/aotcache.py — plain jit off-TPU, disk-cached executables on
+    TPU; VERDICT round 4 'wire the AOT cache into StereoMatcher'), accepts
+    uint8 wire inputs on both entry points, and use_aot_cache=False
+    reproduces identical output through plain jax.jit."""
+    from aswstereomatch_tpu.utils import synthetic
+
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=3)
+    cfg = asm.StereoConfig(max_disparity=8, aggregation="asw",
+                           window_radius=2)
+    m = asm.StereoMatcher(cfg)
+    assert m.use_aot_cache
+    d_cached = np.asarray(m(pair["left"], pair["right"]))
+    # the compile source is recorded: "jit" off-TPU, "aot-cache"/"compile"
+    # on TPU
+    assert m.last_compile_source in ("jit", "aot-cache", "compile")
+    # executables are keyed per (kind, shape, dtype): same signature reuses
+    assert len(m._compiled) == 1
+    _ = m(pair["left"], pair["right"])
+    assert len(m._compiled) == 1
+    # uint8 wire inputs widen on device: bit-identical for integral images
+    d_u8 = np.asarray(
+        m(pair["left"].astype(np.uint8), pair["right"].astype(np.uint8))
+    )
+    np.testing.assert_array_equal(d_u8, d_cached)
+    assert len(m._compiled) == 2  # new dtype, new entry
+    # escape hatch: plain jit, identical results
+    m_jit = asm.StereoMatcher(cfg, use_aot_cache=False)
+    np.testing.assert_array_equal(
+        np.asarray(m_jit(pair["left"], pair["right"])), d_cached
+    )
+    # batch entry point on both paths
+    lefts = np.stack([pair["left"]] * 2)
+    rights = np.stack([pair["right"]] * 2)
+    b_cached = np.asarray(m.batch(lefts, rights))
+    np.testing.assert_array_equal(b_cached[0], d_cached)
+    np.testing.assert_array_equal(
+        np.asarray(m_jit.batch(lefts, rights)), b_cached
+    )

@@ -17,8 +17,7 @@ import serve as serve_mod  # noqa: E402
 from aswstereomatch_tpu.utils import evaluate, synthetic  # noqa: E402
 
 
-@pytest.mark.slow
-def test_serve_end_to_end(tmp_path):
+def _spawn_server(tmp_path, extra_args=()):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -28,21 +27,31 @@ def test_serve_end_to_end(tmp_path):
     log = open(tmp_path / "server.log", "w")
     proc = subprocess.Popen(
         [sys.executable, os.path.join(REPO, "tools", "serve.py"),
-         "--port", str(port), "--platform", "cpu"],
+         "--port", str(port), "--platform", "cpu", *extra_args],
         stdout=log, stderr=subprocess.STDOUT, env=env,
     )
+    return proc, port, log
+
+
+def _connect(port, tmp_path, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            sock = socket.create_connection(("127.0.0.1", port), timeout=2)
+            sock.settimeout(60)
+            return sock
+        except OSError:
+            time.sleep(0.2)
+    raise AssertionError((tmp_path / "server.log").read_text()[-2000:])
+
+
+@pytest.mark.slow
+def test_serve_end_to_end(tmp_path):
+    proc, port, log = _spawn_server(tmp_path)
     try:
         pair = synthetic.make_pair(height=32, width=48, max_disparity=8, seed=0)
         cfgd = dict(max_disparity=8, aggregation="asw", window_radius=2)
-        deadline = time.time() + 60
-        sock = None
-        while time.time() < deadline:
-            try:
-                sock = socket.create_connection(("127.0.0.1", port), timeout=2)
-                break
-            except OSError:
-                time.sleep(0.2)
-        assert sock is not None, (tmp_path / "server.log").read_text()[-2000:]
+        sock = _connect(port, tmp_path)
         sock.settimeout(180)
         with sock:
             d1, h1 = serve_mod.send_request(sock, pair["left"], pair["right"], cfgd)
@@ -78,6 +87,136 @@ def test_serve_end_to_end(tmp_path):
             valid = d1 >= 0
             assert np.max(np.abs(du16 - d1)[valid]) <= 1 / 512 + 1e-6
             assert np.all(du16[~valid] == 0)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        log.close()
+
+
+def _read_response(sock):
+    """One length-prefixed response header (no body expected on errors)."""
+    import json
+    import struct
+
+    raw = serve_mod._recv_exact(sock, 4)
+    rlen = struct.unpack("<I", raw)[0]
+    return json.loads(serve_mod._recv_exact(sock, rlen))
+
+
+def _assert_closed(sock):
+    """The server must have dropped the connection (EOF, not a hang)."""
+    sock.settimeout(10)
+    assert sock.recv(1) == b""
+
+
+@pytest.mark.slow
+def test_serve_rejects_malformed_input(tmp_path):
+    """Hardening battery: every malformed request gets an error response and
+    a dropped connection (the stream can't be trusted past the violation),
+    allocations never happen before validation, and the server stays alive
+    for well-formed clients afterwards."""
+    import json
+    import struct
+
+    proc, port, log = _spawn_server(tmp_path)
+    try:
+        def raw_case(payload: bytes, expect_msg: str):
+            with _connect(port, tmp_path) as sock:
+                sock.sendall(payload)
+                rh = _read_response(sock)
+                assert rh["status"] == "error", rh
+                assert expect_msg in rh["message"], rh
+                _assert_closed(sock)
+
+        def header_case(header: dict, expect_msg: str, body: bytes = b""):
+            hb = json.dumps(header).encode()
+            raw_case(struct.pack("<I", len(hb)) + hb + body, expect_msg)
+
+        # oversized header_len: would be a 4 GiB alloc if trusted
+        raw_case(struct.pack("<I", 0xFFFFFFFF), "header_len")
+        # zero header_len
+        raw_case(struct.pack("<I", 0), "header_len")
+        # header is not JSON
+        raw_case(struct.pack("<I", 8) + b"notjson!", "not valid JSON")
+        # header is JSON but not an object
+        raw_case(struct.pack("<I", 4) + b"[12]", "JSON object")
+        # absurd dims: would be a huge alloc if trusted
+        header_case({"height": 1 << 30, "width": 64, "channels": 1}, "height")
+        header_case({"height": 64, "width": -3, "channels": 1}, "width")
+        header_case({"height": 64, "width": 64, "channels": 9}, "channels")
+        header_case({"height": 64, "width": 64, "channels": 2}, "channels")
+        # non-integer dims (type confusion)
+        header_case({"height": "64", "width": 64, "channels": 1}, "height")
+        header_case({"height": True, "width": 64, "channels": 1}, "height")
+        # missing dims entirely
+        header_case({"config": {}}, "height")
+        # wrong dtype: body length would be undefined
+        header_case(
+            {"height": 4, "width": 4, "channels": 1, "dtype": "float64"},
+            "wire dtype",
+        )
+        header_case(
+            {"height": 4, "width": 4, "channels": 1, "dtype": [1, 2]},
+            "dtype",
+        )
+        # per-plane byte cap (dims individually legal)
+        header_case(
+            {"height": 16384, "width": 16384, "channels": 3}, "exceeds cap"
+        )
+
+        # truncated body: client dies mid-image — server must not crash
+        # and must free the handler (no response owed)
+        hb = json.dumps({"height": 8, "width": 8, "channels": 1}).encode()
+        with _connect(port, tmp_path) as sock:
+            sock.sendall(struct.pack("<I", len(hb)) + hb + b"\x00" * 10)
+        # server still alive: a well-formed request round-trips
+        pair = synthetic.make_pair(height=32, width=48, max_disparity=8, seed=0)
+        cfgd = dict(max_disparity=8, aggregation="box", window_radius=2,
+                    lr_check=False, fill_holes=False, subpixel=False,
+                    median_filter=False, cost="ad")
+        with _connect(port, tmp_path) as sock:
+            disp, rh = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd
+            )
+            assert rh["status"] == "ok"
+            assert disp.shape == (32, 48)
+            # a bad CONFIG value (body consumed cleanly) keeps the
+            # connection alive, unlike the protocol violations above
+            with pytest.raises(RuntimeError, match="bogus"):
+                serve_mod.send_request(sock, pair["left"], pair["right"],
+                                       {"aggregation": "bogus"})
+            disp2, _ = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd
+            )
+            assert np.array_equal(disp2, disp)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        log.close()
+
+
+@pytest.mark.slow
+def test_serve_idle_timeout_frees_handler(tmp_path):
+    """A stalled client is disconnected after --idle-timeout instead of
+    pinning its handler thread forever."""
+    proc, port, log = _spawn_server(tmp_path, ("--idle-timeout", "2"))
+    try:
+        with _connect(port, tmp_path) as sock:
+            # send nothing; the server should EOF us after ~2 s
+            t0 = time.time()
+            sock.settimeout(30)
+            assert sock.recv(1) == b""
+            assert time.time() - t0 < 25
+        # server still serves after reaping the idle connection
+        pair = synthetic.make_pair(height=16, width=32, max_disparity=4, seed=1)
+        cfgd = dict(max_disparity=4, aggregation="box", window_radius=2,
+                    lr_check=False, fill_holes=False, subpixel=False,
+                    median_filter=False, cost="ad")
+        with _connect(port, tmp_path) as sock:
+            disp, rh = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd
+            )
+            assert rh["status"] == "ok"
     finally:
         proc.terminate()
         proc.wait(timeout=10)

@@ -29,6 +29,21 @@ cheaper at KITTI geometry through the axon tunnel (~120 MB/s effective
 H2D), where the f32 transfer dominates request latency.  The widen to
 float32 happens on device.
 
+Protocol limits (hardening — any client integer is untrusted; nothing is
+allocated before validation):
+  - header_len in (0, 1 MiB]; the header must decode as a JSON object.
+  - height/width are integers in [1, 16384], channels is 1 or 3, and each
+    image plane is capped at 256 MiB; "dtype" must be float32 or uint8.
+  - Violations get a {"status": "error"} response and the connection is
+    DROPPED: past a malformed header the stream position can no longer be
+    trusted, so resyncing would just loop on garbage.  Errors raised after
+    the body is fully consumed (e.g. a bad config value) keep the
+    connection alive as before.
+  - Handler sockets carry an idle timeout (--idle-timeout, default 300 s):
+    a stalled or vanished client releases its thread instead of pinning it
+    forever.  Compiles don't count against it (the clock only runs while
+    blocked on the socket).
+
 Run:   python tools/serve.py --port 9444
 Test:  python tools/serve.py --self-test   (spawns the server, sends a pair)
 """
@@ -91,6 +106,25 @@ def send_request(sock, left: np.ndarray, right: np.ndarray, config: dict,
     return disp, rheader
 
 
+# Protocol limits — see the module docstring.  All are checked BEFORE any
+# allocation sized by a client integer.
+MAX_HEADER_LEN = 1 << 20      # 1 MiB of config JSON is absurdly generous
+MAX_DIM = 16384               # per image axis
+MAX_BODY_BYTES = 1 << 28      # per image plane (256 MiB)
+
+
+class _ProtocolError(ValueError):
+    """Malformed framing/limits: respond, then DROP the connection — the
+    stream position past the violation can no longer be trusted."""
+
+
+def _dim(header: dict, key: str, lo: int, hi: int) -> int:
+    v = header.get(key)
+    if isinstance(v, bool) or not isinstance(v, int) or not lo <= v <= hi:
+        raise _ProtocolError(f"{key} must be an integer in [{lo}, {hi}], got {v!r}")
+    return v
+
+
 class _Handler(socketserver.BaseRequestHandler):
     def handle(self):
         import jax
@@ -101,18 +135,42 @@ class _Handler(socketserver.BaseRequestHandler):
         from aswstereomatch_tpu.utils import profiling
 
         cache = self.server.fn_cache
+        self.request.settimeout(self.server.idle_timeout)
         while True:
             try:
                 hlen = struct.unpack("<I", _recv_exact(self.request, 4))[0]
-            except ConnectionError:
-                return
+            except (ConnectionError, OSError):
+                return  # peer closed, stalled past the idle timeout, reset
+            drop = False
             try:
-                header = json.loads(_recv_exact(self.request, hlen))
-                h, w, c = header["height"], header["width"], header["channels"]
-                wire = np.dtype(header.get("dtype", "float32"))
+                if not 0 < hlen <= MAX_HEADER_LEN:
+                    raise _ProtocolError(
+                        f"header_len {hlen} outside (0, {MAX_HEADER_LEN}]"
+                    )
+                try:
+                    header = json.loads(_recv_exact(self.request, hlen))
+                except (ValueError, UnicodeDecodeError):
+                    raise _ProtocolError("header is not valid JSON") from None
+                if not isinstance(header, dict):
+                    raise _ProtocolError("header must be a JSON object")
+                h = _dim(header, "height", 1, MAX_DIM)
+                w = _dim(header, "width", 1, MAX_DIM)
+                c = _dim(header, "channels", 1, 3)
+                if c == 2:
+                    raise _ProtocolError("channels must be 1 or 3")
+                try:
+                    wire = np.dtype(header.get("dtype", "float32"))
+                except TypeError:
+                    raise _ProtocolError("unparseable wire dtype") from None
                 if wire not in (np.dtype(np.float32), np.dtype(np.uint8)):
-                    raise ValueError(f"unsupported wire dtype {wire}")
+                    # Body length is dtype-dependent: an unknown dtype
+                    # desyncs the stream, so this is a drop, not a keep.
+                    raise _ProtocolError(f"unsupported wire dtype {wire}")
                 n = h * w * c * wire.itemsize
+                if n > MAX_BODY_BYTES:
+                    raise _ProtocolError(
+                        f"image plane {n} bytes exceeds cap {MAX_BODY_BYTES}"
+                    )
                 left = np.frombuffer(_recv_exact(self.request, n), wire)
                 right = np.frombuffer(_recv_exact(self.request, n), wire)
                 shape = (h, w) if c == 1 else (h, w, c)
@@ -170,14 +228,26 @@ class _Handler(socketserver.BaseRequestHandler):
                     "dtype": rdtype,
                 }
                 body = disp.tobytes()
-            except Exception as e:  # report, keep serving
+            except _ProtocolError as e:  # report, then drop the connection
+                rheader = {"status": "error", "message": f"protocol: {e}"}
+                body = b""
+                drop = True
+            except (ConnectionError, socket.timeout):
+                # Peer vanished or stalled mid-body: nothing to respond to.
+                return
+            except Exception as e:  # body consumed cleanly: report, keep serving
                 rheader = {"status": "error", "message": f"{type(e).__name__}: {e}"}
                 body = b""
             hb = json.dumps(rheader).encode()
-            self.request.sendall(struct.pack("<I", len(hb)))
-            self.request.sendall(hb)
-            if body:
-                self.request.sendall(body)
+            try:
+                self.request.sendall(struct.pack("<I", len(hb)))
+                self.request.sendall(hb)
+                if body:
+                    self.request.sendall(body)
+            except (ConnectionError, OSError):
+                return
+            if drop:
+                return
 
 
 class Server(socketserver.ThreadingTCPServer):
@@ -193,10 +263,12 @@ class Server(socketserver.ThreadingTCPServer):
     # (`while :; do python tools/serve.py ...; [ $? -eq 42 ] || break; done`).
     RSS_EXIT_CODE = 42
 
-    def __init__(self, addr, max_rss_mb: float = 8192):
+    def __init__(self, addr, max_rss_mb: float = 8192,
+                 idle_timeout: float = 300.0):
         super().__init__(addr, _Handler)
         self.fn_cache = {}
         self.max_rss_mb = max_rss_mb
+        self.idle_timeout = idle_timeout
         self.recycling = False
         import threading
 
@@ -308,6 +380,10 @@ def main():
                     help="self-recycle (exit 42) past this RSS — contains "
                     "the upstream per-request host-memory retention; a "
                     "supervisor loop restarts the stateless daemon in ~1-2 s")
+    ap.add_argument("--idle-timeout", type=float, default=300.0,
+                    help="per-connection socket idle timeout in seconds; a "
+                    "stalled client releases its handler thread instead of "
+                    "pinning it forever")
     ap.add_argument("--self-test", action="store_true")
     args = ap.parse_args()
     if args.platform:
@@ -319,7 +395,8 @@ def main():
     from aswstereomatch_tpu.utils import devlock
 
     if args.platform == "cpu":
-        srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb)
+        srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb,
+                     idle_timeout=args.idle_timeout)
         print(f"serving on {args.host}:{args.port}", flush=True)
         srv.serve_forever()
     else:
@@ -327,7 +404,8 @@ def main():
         # alongside a live server would silently queue behind it (device
         # access is serialized); with the lock they fail fast, naming us.
         with devlock.device_lock("serve", timeout_s=60):
-            srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb)
+            srv = Server((args.host, args.port), max_rss_mb=args.max_rss_mb,
+                     idle_timeout=args.idle_timeout)
             print(f"serving on {args.host}:{args.port}", flush=True)
             srv.serve_forever()
     if srv.recycling:

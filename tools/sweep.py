@@ -85,6 +85,18 @@ def main(argv=None):
     if overrides:
         cfg = cfg.replace(**overrides)
 
+    if args.fetch == "u16" and cfg.lr_check and not cfg.fill_holes:
+        # The u16 wire encodes invalid (-1) as 0 — KITTI's on-disk invalid
+        # code, but io.write_pfm/evaluate below treat 0.0 as a legal zero
+        # disparity, so hole-producing configs would score differently per
+        # fetch mode.  Exact f32 keeps the -1 sentinel end-to-end.
+        print(
+            "note: fill_holes=False produces holes; forcing --fetch f32 "
+            "to preserve the -1 invalid sentinel",
+            file=sys.stderr,
+        )
+        args.fetch = "f32"
+
     if args.make_synthetic:
         make_synthetic_dataset(
             args.dir, args.make_synthetic, args.height, args.width,
@@ -145,12 +157,22 @@ def main(argv=None):
             jnp.round(disp * 256.0), 0, 65535
         ).astype(jnp.uint16)
 
+    def _as_device_input(a: np.ndarray) -> np.ndarray:
+        # 8-bit sources ship as uint8 (4x fewer tunnel bytes; widened to
+        # f32 on device — lossless).  16-bit PNM (maxval >= 256) and float
+        # sources must NOT take this path: astype(uint8) wraps modulo 256
+        # and silently corrupts the images (same guard as cli.py).
+        if float(np.min(a)) >= 0 and float(np.max(a)) <= 255 and np.all(
+            a == np.floor(a)
+        ):
+            return a.astype(np.uint8)
+        return a.astype(np.float32)
+
     def _submit_impl(pid: str):
         left = read(os.path.join(args.dir, f"{pid}_left.ppm"))
         right = read(os.path.join(args.dir, f"{pid}_right.ppm"))
-        # PNM sources are 8-bit: ship uint8, widen on device (lossless).
-        l = jnp.asarray(left.astype(np.uint8))
-        r = jnp.asarray(right.astype(np.uint8))
+        l = jnp.asarray(_as_device_input(left))
+        r = jnp.asarray(_as_device_input(right))
         out = get_fn(l, r)(l, r)
         if args.fetch == "u16":
             out = _enc_u16(out)
