@@ -261,6 +261,16 @@ def run_bench(preset: str, iters: int, save: bool = True, backend: str = "auto")
             backend_cfg_hash=cfg.config_hash(),
             baseline_pairs_per_s=base,
             achieved_window_tflops=round(achieved_tflops, 3),
+            achieved_window_tflops_def=(
+                "H*W*D*(2r+1)^2 * 5 flops/pair * pairs_per_s / 1e12 — the "
+                "EXACT-window-equivalent aggregation rate (~5 VPU flops per "
+                "(pixel, window tap, disparity) of symmetric ASW, "
+                "docs/ARCHITECTURE.md).  For separable/box modes the "
+                "executed work is O(K)/O(1) per tap, so this is an "
+                "effective rate (work avoided counts as work done), "
+                "comparable across modes; see BASELINE.md "
+                "'Speed-of-light accounting'"
+            ),
         )
         with open(os.path.join(BENCH_DIR, f"bench_{preset}.json"), "w") as f:
             json.dump(detail, f, indent=2)
