@@ -96,6 +96,16 @@ class StereoConfig:
     # ---- post-processing (L5) ----------------------------------------------
     lr_check: bool = True
     lr_tol: float = 1.0                # max |dL - dR| to accept a pixel
+    uniqueness_ratio: float = 0.0      # WTA-uniqueness confidence gate (the
+                                       # knob cv2.StereoBM/SGBM ship): reject
+                                       # a pixel unless the second-best
+                                       # aggregated cost over d outside
+                                       # [best-1, best+1] exceeds the best by
+                                       # this percentage margin —
+                                       # second*100 >= best*(100+ratio).
+                                       # 0.0 (default) disables the gate.
+                                       # Rejected pixels follow fill_holes
+                                       # like LR failures (filled, or -1).
     fill_holes: bool = True
     subpixel: bool = True
     median_filter: bool = True         # final 3x3 median
@@ -135,6 +145,8 @@ class StereoConfig:
             raise ValueError("tile_axis must be 'y', 'x' or 'd'")
         if self.max_disparity < 1:
             raise ValueError("max_disparity must be >= 1")
+        if self.uniqueness_ratio < 0:
+            raise ValueError("uniqueness_ratio must be >= 0")
         if self.window_radius < 0:
             raise ValueError("window_radius must be >= 0")
         if self.backend not in ("auto", "jnp", "pallas"):
@@ -157,19 +169,22 @@ class StereoConfig:
             # D in [2, 128], adaptive tile >= 64 (r <= 32 / K <= 65).
             if not self.asw_separable:
                 raise ValueError("volume_dtype='bfloat16' requires asw_separable")
+            # backend='jnp' is NOT rejected: an explicit jnp route with a
+            # bf16-declared config is the intentional A/B reference form
+            # (tools/tpu_smoke.py, tpu_fuzz.py compare the bf16 kernel
+            # against the f32 jnp baseline) — it gets the runtime warning
+            # in models/pipeline._resolve_backend instead.
             routable = (
                 2 <= self.max_disparity <= 128
                 and self.window_radius <= 32
                 and self.kernel_layout != "xlanes"
-                and self.backend != "jnp"
             )
             if not routable:
                 raise ValueError(
                     "volume_dtype='bfloat16' is consumed only by the "
                     "separable d-lanes kernel, which this config cannot "
                     "route to (requires max_disparity in [2, 128], "
-                    "window_radius <= 32, kernel_layout != 'xlanes', "
-                    "backend != 'jnp')"
+                    "window_radius <= 32, kernel_layout != 'xlanes')"
                 )
 
     # -- derived --------------------------------------------------------------

@@ -363,10 +363,30 @@ def match_pair(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.nda
         vol = cost_volume(left, right, cfg)
     disp_i = wta(vol)
     disp = subpixel(vol, disp_i) if cfg.subpixel else disp_i.astype(np.float32)
+    valid = None
     if cfg.lr_check:
         vol_r = right_volume(vol)
         disp_r_i = wta(vol_r)
         valid = lr_check(disp_i.astype(np.float32), disp_r_i.astype(np.float32), cfg)
+    if cfg.uniqueness_ratio > 0:
+        # WTA-uniqueness gate (5-loop literal form): accept iff the best
+        # cost wins the minimum over d outside [best-1, best+1] by
+        # uniqueness_ratio percent (cv2.StereoBM semantics).
+        h, w, D = vol.shape
+        uvalid = np.zeros((h, w), bool)
+        for y in range(h):
+            for x in range(w):
+                b = int(disp_i[y, x])
+                second = np.inf
+                for d in range(D):
+                    if abs(d - b) > 1 and vol[y, x, d] < second:
+                        second = vol[y, x, d]
+                uvalid[y, x] = (
+                    second * 100.0
+                    >= vol[y, x, b] * (100.0 + cfg.uniqueness_ratio)
+                )
+        valid = uvalid if valid is None else valid & uvalid
+    if valid is not None:
         if cfg.fill_holes:
             disp = fill_holes(disp, valid)
         else:

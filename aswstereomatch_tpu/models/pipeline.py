@@ -42,17 +42,24 @@ def aggregated_volume(
 
 
 def disp_pre_from_volume(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
-    """WTA + subpixel + LR + fill (everything row-local; no median)."""
+    """WTA + subpixel + LR/uniqueness gates + fill (row-local; no median)."""
     disp_i = wta.wta(vol)
     disp = (
         wta.subpixel(vol, disp_i) if cfg.subpixel else disp_i.astype(jnp.float32)
     )
+    valid = None
     if cfg.lr_check:
         vol_r = postprocess.right_volume(vol)
         disp_r_i = wta.wta(vol_r)
         valid = postprocess.lr_check(
             disp_i.astype(jnp.float32), disp_r_i.astype(jnp.float32), cfg
         )
+    if cfg.uniqueness_ratio > 0:
+        bestc = jnp.take_along_axis(vol, disp_i[..., None], axis=-1)[..., 0]
+        second = wta.second_best_excl_neighbors(vol, disp_i)
+        uv = wta.uniqueness_valid(bestc, second, cfg.uniqueness_ratio)
+        valid = uv if valid is None else valid & uv
+    if valid is not None:
         if cfg.fill_holes:
             disp = postprocess.fill_holes(disp, valid)
         else:
@@ -229,10 +236,22 @@ def _disp_pre_from_wta(outs: dict, cfg: StereoConfig) -> jnp.ndarray:
         )
     else:
         disp = disp_i.astype(jnp.float32)
+    valid = None
     if cfg.lr_check:
         valid = postprocess.lr_check(
             disp_i.astype(jnp.float32), outs["rbestd"].astype(jnp.float32), cfg
         )
+    if cfg.uniqueness_ratio > 0:
+        if "ubest" not in outs:
+            raise ValueError(
+                "this kernel path does not export the second-best cost "
+                "required by uniqueness_ratio; use backend='jnp'"
+            )
+        uv = wta.uniqueness_valid(
+            outs["bestc"], outs["ubest"], cfg.uniqueness_ratio
+        )
+        valid = uv if valid is None else valid & uv
+    if valid is not None:
         if cfg.fill_holes:
             disp = postprocess.fill_holes(disp, valid)
         else:
@@ -262,6 +281,54 @@ def match_pair(
         return match_pair_chunked(left, right, cfg)
     vol = aggregated_volume(left, right, cfg)
     return _postprocess_from_volume(vol, cfg, left)
+
+
+def match_pair_with_confidence(
+    left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig
+):
+    """Match one pair and return per-pixel confidence operands.
+
+    Returns ``(disp, uniq_pct, lr_valid)``:
+
+      - ``disp``: the configured pipeline's disparity (all cfg gates
+        applied, exactly as ``match_pair``);
+      - ``uniq_pct``: the WTA-uniqueness margin ``(second/best - 1) * 100``
+        where ``second`` is the best aggregated cost over d outside
+        [best-1, best+1] — thresholding ``uniq_pct >= r`` reproduces the
+        ``uniqueness_ratio=r`` gate without recompiling (agreement up to
+        f32 division rounding on exact-knife-edge pixels; the in-graph
+        gate's ``second*100 >= best*(100+r)`` form is canonical).  Clipped
+        to [0, 1e6]; 1e6 where no far candidate exists;
+      - ``lr_valid``: the LR-consistency mask (all True when
+        ``cfg.lr_check`` is off).
+
+    This is the selectable-coverage product surface: fetch once, choose
+    the operating point downstream.  Jit-friendly.
+    """
+    backend = _resolve_backend(cfg, left.shape)
+    if backend == "pallas":
+        outs = _kernel_wta(left, right, cfg)
+        disp = _postprocess_from_wta(outs, cfg, left)
+        bestc, second = outs["bestc"], outs["ubest"]
+        disp_i = outs["bestd"]
+        rbest = outs["rbestd"].astype(jnp.float32)
+    else:
+        vol = aggregated_volume(left, right, cfg)
+        disp = _postprocess_from_volume(vol, cfg, left)
+        disp_i = wta.wta(vol)
+        bestc = jnp.take_along_axis(vol, disp_i[..., None], axis=-1)[..., 0]
+        second = wta.second_best_excl_neighbors(vol, disp_i)
+        rbest = wta.wta(postprocess.right_volume(vol)).astype(jnp.float32)
+    # margin in the exact form the in-graph gate tests:
+    # second*100 >= best*(100+r)  <=>  (second/best - 1)*100 >= r
+    uniq_pct = jnp.clip(
+        (second / jnp.maximum(bestc, 1e-30) - 1.0) * 100.0, 0.0, 1e6
+    )
+    if cfg.lr_check:
+        lr_valid = postprocess.lr_check(disp_i.astype(jnp.float32), rbest, cfg)
+    else:
+        lr_valid = jnp.ones(disp_i.shape, bool)
+    return disp, uniq_pct, lr_valid
 
 
 def dlanes_routed(cfg: StereoConfig, pair_shape) -> bool:

@@ -162,11 +162,19 @@ def _spatial_band_np(cfg: StereoConfig) -> np.ndarray:
 
 
 def _wta_writeback(
-    agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc
+    agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,
+    u_sc=None,
 ):
     """Left-view WTA + subpixel triple + right-view partial argmin for one
     aggregated row ``agg`` (TXS, DL); writes the lane-y scratch planes.
-    Shared by the left-only and symmetric d-lanes kernels."""
+    Shared by the left-only, symmetric, and separable d-lanes kernels.
+
+    With ``u_sc`` additionally writes the second-best cost EXCLUDING
+    disparities within +-1 of the winner — the WTA-uniqueness confidence
+    operand (config ``uniqueness_ratio``, the knob cv2.StereoBM/SGBM
+    ship).  With d in lanes the whole cost row is present, so this is one
+    masked lane reduction — the x-lanes kernel has to track it online
+    instead."""
     TXS, DL = agg.shape
     J8 = rc_sc.shape[0]
     lane_d = lax.broadcasted_iota(jnp.int32, (TXS, DL), 1)
@@ -185,6 +193,10 @@ def _wta_writeback(
     bd_sc[...] = jnp.where(ymask_x, bd, bd_sc[...])
     cm_sc[...] = jnp.where(ymask_x, cmv, cm_sc[...])
     cp_sc[...] = jnp.where(ymask_x, cpv, cp_sc[...])
+    if u_sc is not None:
+        far = jnp.abs(lane_d - bd) > 1
+        uv = jnp.min(jnp.where(far, agg, BIG), axis=1, keepdims=True)
+        u_sc[...] = jnp.where(ymask_x, uv, u_sc[...])
 
     # ---- right-view partial: log-shear along the d-diagonal ---------------
     # Target: M[j, d] = agg[j - (D-1) + d, d]; lane d shifts down by
@@ -220,8 +232,10 @@ def _compute(
     cp_ref,    # (1, TXS, TYO) f32
     rc_ref,    # (1, J8, TYO) f32    right-view partial (j = x - d + D - 1)
     rd_ref,    # (1, J8, TYO) i32
+    u_ref,     # (1, TXS, TYO) f32   second-best cost excl. best +-1
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,  # (TXS|J8, 128) lane-y planes
     ball_sc,   # (TXS, K*XW) f32: per-row concatenated bands (big-dot LHS)
+    u_sc=None,  # (TXS, 128) f32 lane-y plane for u_ref
     *,
     cfg: StereoConfig,
     nx: int,
@@ -281,7 +295,8 @@ def _compute(
             agg = num * (np.float32(1.0) / den)
 
         _wta_writeback(
-            agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc
+            agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,
+            u_sc,
         )
         return ()
 
@@ -293,6 +308,7 @@ def _compute(
     cp_ref[0] = cp_sc[:, :TYO]
     rc_ref[0] = rc_sc[:, :TYO]
     rd_ref[0] = rd_sc[:, :TYO]
+    u_ref[0] = u_sc[:, :TYO]
 
 
 def _kernel_blocked(ct_ref, lc_ref, lx_ref, *rest, cfg, nx):
@@ -308,7 +324,7 @@ def _kernel_dma(
     step DMAs its overlapping window into VMEM scratch.  Avoids the 7.5x
     data amplification (and ~80 ms/pair of XLA gather time at KITTI scale)
     of materializing overlapped tiles."""
-    outs, dma, scr = rest[:6], rest[6:12], rest[12:]
+    outs, dma, scr = rest[:7], rest[7:13], rest[13:]
     ct_sc, lc_sc, lx_sc, csem, lcsem, lxsem = dma
     TYO, TXS = TILE_YO, TILE_XS
     RT = ct_sc.shape[0]
@@ -386,9 +402,10 @@ def _left_lab_planes(lab, cfg, H, W, ny, nx):
 
 
 def _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D,
-                      tyo=None, txs=None):
+                      tyo=None, txs=None, u=None):
     """Column-major per-tile WTA outputs -> the wta_outputs dict (bestd /
-    bestc / cm / cp / rbestd), including the cross-tile right-view merge."""
+    bestc / cm / cp / rbestd [+ ubest, the second-best-excl-+-1 cost for
+    uniqueness confidence]), including the cross-tile right-view merge."""
     J8 = rc.shape[1]
     TYO = TILE_YO if tyo is None else tyo
     TXS = TILE_XS if txs is None else txs
@@ -405,6 +422,8 @@ def _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D,
         "cm": untile(cm)[:H, :W],
         "cp": untile(cp)[:H, :W],
     }
+    if u is not None:
+        out["ubest"] = untile(u)[:H, :W]
     rc4 = jnp.moveaxis(rc.reshape(ny, nx, J8, TYO), 3, 2)  # (ny, nx, TYO, J8)
     rd4 = jnp.moveaxis(rd.reshape(ny, nx, J8, TYO), 3, 2)
     _, own_d, _, _ = asw_kernel._combine_right4(rc4, rd4, H, W, D, TXS)
@@ -469,6 +488,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pltpu.VMEM((J8, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.int32),
         pltpu.VMEM((TXS, K * XW), jnp.float32),  # big-dot LHS band matrix
+        pltpu.VMEM((TXS, 128), jnp.float32),     # uniqueness lane-y plane
     ]
     if interpret:
         # Test path: pre-materialize overlapping tiles (DMA semantics are
@@ -530,6 +550,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # cp
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.float32),   # rbestc partial
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
+        jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # ubest
     ]
     swb_spec = (
         pl.BlockSpec((TXS, K * XW), lambda t: (0, 0), memory_space=pltpu.VMEM)
@@ -561,8 +582,11 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
             pl.BlockSpec(
                 (1, J8, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, TXS, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+            ),
     ]
-    bc, bd, cm, cp, rc, rd = pl.pallas_call(
+    bc, bd, cm, cp, rc, rd, u = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=in_specs,
@@ -584,4 +608,4 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 
-    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D)
+    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D, u=u)

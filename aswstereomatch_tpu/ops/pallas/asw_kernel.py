@@ -175,17 +175,20 @@ def _kernel(
     cp_ref,      # (1, TY, TX) f32  cost at best+1
     rbestc_ref,  # (1, TY, TXR) f32 right-view partial
     rbestd_ref,  # (1, TY, TXR) i32
-    *scratch,    # asw: cost, num, den, slrow, srrow, prev; box: cost, prev
+    u_ref,       # (1, TY, TX) f32 second-best cost excl. best +-1
+    *scratch,    # asw: cost, num, den, slrow, srrow, prev; box: cost, prev;
+                 # both + 6 top-4 tracking planes (c1, d1, c2, d2, c3, d3)
     cfg: StereoConfig,
     nx: int,
     ty: int,
     tx: int,
 ):
     if cfg.aggregation == "box":
-        cost_sc, prev_sc = scratch
+        cost_sc, prev_sc = scratch[:2]
         num_sc = den_sc = slrow_sc = srrow_sc = None
     else:
-        cost_sc, num_sc, den_sc, slrow_sc, srrow_sc, prev_sc = scratch
+        cost_sc, num_sc, den_sc, slrow_sc, srrow_sc, prev_sc = scratch[:6]
+    u1c_sc, u1d_sc, u2c_sc, u2d_sc, u3c_sc, u3d_sc = scratch[-6:]
     r = cfg.window_radius
     K = 2 * r + 1
     D = cfg.max_disparity
@@ -276,6 +279,16 @@ def _kernel(
     prev_sc[...] = jnp.zeros((TY, TX), jnp.float32)
     rbestc_ref[0] = jnp.full((TY, TXR), jnp.inf, jnp.float32)
     rbestd_ref[0] = jnp.zeros((TY, TXR), jnp.int32)
+    # Top-4 smallest-cost tracking (ranks 1-3 below the best): the
+    # second-best EXCLUDING d within +-1 of the final winner — the
+    # uniqueness-confidence operand — is always among the 4 smallest
+    # overall (the excluded set {d0-1, d0, d0+1} holds at most 3 costs),
+    # so an online sorted insert of depth 4 computes it exactly in one
+    # pass.  The d-lanes kernels read it off the full lane row instead.
+    for ref in (u1c_sc, u2c_sc, u3c_sc):
+        ref[...] = jnp.full((TY, TX), jnp.inf, jnp.float32)
+    for ref in (u1d_sc, u2d_sc, u3d_sc):
+        ref[...] = jnp.full((TY, TX), -9, jnp.int32)
 
     def wta_body(d, _):
         agg = agg_of_d(d)  # (TY, TX)
@@ -293,6 +306,21 @@ def _kernel(
         bestc_ref[0] = jnp.where(better, agg, bc)
         bestd_ref[0] = jnp.where(better, d, bd)
         prev_sc[...] = agg
+        # sorted insert into ranks 1..3 (rank 0 is the best update above);
+        # better => lt1 => lt2 => lt3 by the sortedness invariant
+        cwin = jnp.where(in_win, agg, jnp.inf)
+        c1, d1 = u1c_sc[...], u1d_sc[...]
+        c2, d2 = u2c_sc[...], u2d_sc[...]
+        c3, d3 = u3c_sc[...], u3d_sc[...]
+        lt1 = cwin < c1
+        lt2 = cwin < c2
+        lt3 = cwin < c3
+        u3c_sc[...] = jnp.where(lt2, c2, jnp.where(lt3, cwin, c3))
+        u3d_sc[...] = jnp.where(lt2, d2, jnp.where(lt3, d, d3))
+        u2c_sc[...] = jnp.where(lt1, c1, jnp.where(lt2, cwin, c2))
+        u2d_sc[...] = jnp.where(lt1, d1, jnp.where(lt2, d, d2))
+        u1c_sc[...] = jnp.where(better, bc, jnp.where(lt1, cwin, c1))
+        u1d_sc[...] = jnp.where(better, bd, jnp.where(lt1, d, d1))
         # right view: C_R(x - d, d) = agg(x); lands at lane offset D-1-d.
         # Build a full-width candidate plane (inf outside [off, off+TX)) via
         # a dynamic lane rotate, then min-update the whole buffer.
@@ -309,6 +337,14 @@ def _kernel(
         return ()
 
     lax.fori_loop(0, D, wta_body, (), unroll=False)
+
+    # second-best cost excluding d within +-1 of the final winner
+    bd0 = bestd_ref[0]
+    u = jnp.full((TY, TX), jnp.inf, jnp.float32)
+    for ci_sc, di_sc in ((u1c_sc, u1d_sc), (u2c_sc, u2d_sc), (u3c_sc, u3d_sc)):
+        far = jnp.abs(di_sc[...] - bd0) > 1
+        u = jnp.minimum(u, jnp.where(far, ci_sc[...], jnp.inf))
+    u_ref[0] = u
 
 
 def _accumulate(cfg, lpatch_ref, rpatch_ref, sw_ref, cost_sc, num_sc, den_sc,
@@ -497,6 +533,7 @@ def wta_outputs_from_stacks(
         jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # cp
         jax.ShapeDtypeStruct((T, TY, TXR), jnp.float32),  # rbestc
         jax.ShapeDtypeStruct((T, TY, TXR), jnp.int32),    # rbestd
+        jax.ShapeDtypeStruct((T, TY, TX), jnp.float32),   # ubest
     ]
     in_specs = [
         pl.BlockSpec((1, 7, PH, PWL), lambda t: (t, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -512,6 +549,7 @@ def wta_outputs_from_stacks(
         pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, TY, TXR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TY, TX), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
     ]
     if cfg.aggregation == "box":
         scratch = [
@@ -529,7 +567,15 @@ def wta_outputs_from_stacks(
             pltpu.VMEM((TY, TX), jnp.float32),       # prev agg plane
         ]
         flops_tile = K * K * D * TY * TX * (5 if cfg.asw_symmetric else 4)
-    bestc, bestd, cm, cp, rbestc, rbestd = pl.pallas_call(
+    scratch += [  # top-4 tracking planes (c1, d1, c2, d2, c3, d3)
+        pltpu.VMEM((TY, TX), jnp.float32),
+        pltpu.VMEM((TY, TX), jnp.int32),
+        pltpu.VMEM((TY, TX), jnp.float32),
+        pltpu.VMEM((TY, TX), jnp.int32),
+        pltpu.VMEM((TY, TX), jnp.float32),
+        pltpu.VMEM((TY, TX), jnp.int32),
+    ]
+    bestc, bestd, cm, cp, rbestc, rbestd, ubest = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=in_specs,
@@ -567,6 +613,7 @@ def wta_outputs_from_stacks(
         "bestc": assemble(bestc, TX)[:H, :W],
         "cm": assemble(cm, TX)[:H, :W],
         "cp": assemble(cp, TX)[:H, :W],
+        "ubest": assemble(ubest, TX)[:H, :W],
     }
     own_c, own_d, strip_c, strip_d = _combine_right(
         rbestc, rbestd, ny, nx, H, W, D, TX

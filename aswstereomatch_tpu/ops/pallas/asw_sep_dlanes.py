@@ -198,7 +198,9 @@ def _compute(
     swl_ref,   # (8, 128) per-lane axial spatial factors (_swl_np)
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref,  # (1, TXS|J8, TYO)
+    u_ref,                                           # (1, TXS, TYO)
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,        # (TXS|J8, 128)
+    u_sc=None,                                       # (TXS, 128)
     *,
     cfg: StereoConfig,
     nx: int,
@@ -393,7 +395,7 @@ def _compute(
 
         _wta_writeback(
             num / den, y, x0, n_valid, D,
-            bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,
+            bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc, u_sc,
         )
         return ()
 
@@ -405,6 +407,7 @@ def _compute(
     cp_ref[0] = cp_sc[:, :TYO]
     rc_ref[0] = rc_sc[:, :TYO]
     rd_ref[0] = rd_sc[:, :TYO]
+    u_ref[0] = u_sc[:, :TYO]
 
 
 def _kernel_blocked(ct_ref, lyt_ref, lhrow_ref, rrev_ref, *rest, cfg, nx,
@@ -420,7 +423,7 @@ def _kernel_dma(ct_hbm, lyt_hbm, lhrow_hbm, rrev_hbm, swl_ref, nv_ref, *rest,
                 cfg, nx, txs):
     """Hardware path: planes stay untiled in HBM; each grid step DMAs its
     overlapping window into VMEM scratch (same scheme as asw_dlanes)."""
-    outs, dma, scr = rest[:6], rest[6:14], rest[14:]
+    outs, dma, scr = rest[:7], rest[7:15], rest[15:]
     ct_sc, lyt_sc, lhrow_sc, rrev_sc, s0, s1, s2, s3 = dma
     TYO, TXS = TILE_YO, txs
     TXU = lyt_sc.shape[1]
@@ -549,6 +552,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pltpu.VMEM((TXS, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.int32),
+        pltpu.VMEM((TXS, 128), jnp.float32),  # uniqueness lane-y plane
     ]
     if interpret:
         ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
@@ -618,6 +622,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # cp
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.float32),   # rbestc partial
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
+        jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # ubest
     ]
     in_specs = data_specs + [
         pl.BlockSpec((8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -631,8 +636,12 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pl.BlockSpec(
             (1, J8, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
         )
-    ] * 2
-    bc, bd, cm, cp, rc, rd = pl.pallas_call(
+    ] * 2 + [
+        pl.BlockSpec(
+            (1, TXS, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM
+        )
+    ]
+    bc, bd, cm, cp, rc, rd, u = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=in_specs,
@@ -655,4 +664,4 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
     )
 
     return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D,
-                             TYO, TXS)
+                             TYO, TXS, u=u)

@@ -127,7 +127,9 @@ def _compute(
     sw2_ref,   # (K8, 128) spatial^2, reversed lane order, zero-padded
     nv_ref,    # (1, 1) i32 SMEM: count of real left columns
     bc_ref, bd_ref, cm_ref, cp_ref, rc_ref, rd_ref,  # (1, TXS|J8, TYO)
+    u_ref,                                           # (1, TXS, TYO)
     bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,        # (TXS|J8, 128)
+    u_sc=None,                                       # (TXS, 128)
     *,
     cfg: StereoConfig,
     nx: int,
@@ -203,7 +205,8 @@ def _compute(
         )
         agg = num / den
         _wta_writeback(
-            agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc
+            agg, y, x0, n_valid, D, bc_sc, bd_sc, cm_sc, cp_sc, rc_sc, rd_sc,
+            u_sc,
         )
         return ()
 
@@ -215,6 +218,7 @@ def _compute(
     cp_ref[0] = cp_sc[:, :TYO]
     rc_ref[0] = rc_sc[:, :TYO]
     rd_ref[0] = rd_sc[:, :TYO]
+    u_ref[0] = u_sc[:, :TYO]
 
 
 def _kernel_blocked(ct_ref, lc_ref, lrev_ref, rrev_ref, *rest, cfg, nx):
@@ -233,7 +237,7 @@ def _kernel_blocked(ct_ref, lc_ref, lrev_ref, rrev_ref, *rest, cfg, nx):
 def _kernel_dma(ct_hbm, lc_hbm, lrev_hbm, rrev_hbm, sw2_ref, nv_ref, *rest, cfg, nx):
     """Hardware path: all planes stay untiled in HBM; each grid step DMAs
     its overlapping window into VMEM scratch (same scheme as asw_dlanes)."""
-    outs, dma, scr = rest[:6], rest[6:14], rest[14:]
+    outs, dma, scr = rest[:7], rest[7:15], rest[15:]
     ct_sc, lc_sc, lrev_sc, rrev_sc, s0, s1, s2, s3 = dma
     TYO, TXS = TILE_YO, TILE_XS
     RT = ct_sc.shape[0]
@@ -323,6 +327,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pltpu.VMEM((TXS, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.float32),
         pltpu.VMEM((J8, 128), jnp.int32),
+        pltpu.VMEM((TXS, 128), jnp.float32),  # uniqueness lane-y plane
     ]
     if interpret:
         ctiles = _extract_tiles_3d(vol, ny, nx, TYO, TXS, RT, XW)
@@ -380,6 +385,7 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # cp
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.float32),   # rbestc partial
         jax.ShapeDtypeStruct((T, J8, TYO), jnp.int32),     # rbestd partial
+        jax.ShapeDtypeStruct((T, TXS, TYO), jnp.float32),  # ubest
     ]
     in_specs = data_specs + [
         pl.BlockSpec((K8, 128), lambda t: (0, 0), memory_space=pltpu.VMEM),
@@ -392,8 +398,9 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         pl.BlockSpec((1, TXS, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, J8, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, J8, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, TXS, TYO), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
     ]
-    bc, bd, cm, cp, rc, rd = pl.pallas_call(
+    bc, bd, cm, cp, rc, rd, u = pl.pallas_call(
         kern,
         grid=(T,),
         in_specs=in_specs,
@@ -415,4 +422,4 @@ def wta_outputs(left: jnp.ndarray, right: jnp.ndarray, cfg: StereoConfig):
         jnp.asarray(W, jnp.int32).reshape(1, 1),
     )
 
-    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D)
+    return _assemble_outputs(bc, bd, cm, cp, rc, rd, ny, nx, H, W, D, u=u)

@@ -62,3 +62,29 @@ def subpixel_from_triple(
     off = jnp.clip((cp - cm) / (2.0 * denom), -0.5, 0.5)
     ok = (d > 0) & (d < max_disparity - 1) & (jnp.abs(denom) > 1e-6)
     return jnp.where(ok, d.astype(jnp.float32) - off, d.astype(jnp.float32))
+
+
+def second_best_excl_neighbors(vol: jnp.ndarray, disp: jnp.ndarray) -> jnp.ndarray:
+    """Second-best aggregated cost excluding d within +-1 of the winner.
+
+    The uniqueness-confidence operand (the knob cv2.StereoBM/SGBM ship as
+    ``uniquenessRatio``): vol (H, W, D), disp the integer WTA argmin.
+    Returns (H, W); +inf where every candidate lies within the excluded
+    window (D <= 3) — the gate then accepts, matching the kernels' BIG
+    sentinel semantics.
+    """
+    d_idx = jnp.arange(vol.shape[-1])
+    far = jnp.abs(d_idx[None, None, :] - disp[..., None]) > 1
+    return jnp.min(jnp.where(far, vol, jnp.inf), axis=-1)
+
+
+def uniqueness_valid(
+    best: jnp.ndarray, second: jnp.ndarray, ratio: float
+) -> jnp.ndarray:
+    """cv2-style uniqueness gate: accept iff the best cost wins the far
+    second-best by ``ratio`` percent — ``second*100 >= best*(100+ratio)``.
+
+    Costs are non-negative (truncated ADs); an unbounded ``second`` (no far
+    candidate / the kernels' BIG sentinel) always accepts.
+    """
+    return second * 100.0 >= best * (100.0 + ratio)

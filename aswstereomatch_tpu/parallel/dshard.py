@@ -129,6 +129,18 @@ def match_pair_dsharded(
     D = cfg.max_disparity
     if D % n:
         raise ValueError(f"max_disparity {D} not divisible by {n} d-shards")
+    if cfg.uniqueness_ratio > 0:
+        # Each shard sees only its d-slab, so the second-best-excluding-
+        # best+-1 operand would be per-slab, not global — combining it
+        # exactly needs cross-shard knowledge of the global winner.  The
+        # y/x-tiled layouts keep full d rows per pixel and support the
+        # gate; reject here instead of silently computing a different
+        # statistic.
+        raise ValueError(
+            "uniqueness_ratio is not supported with disparity sharding "
+            "(per-shard slabs cannot form the global second-best cost); "
+            "use tile_axis 'y'/'x' or an unsharded run"
+        )
     ds = D // n
     h, w = left.shape[:2]
 

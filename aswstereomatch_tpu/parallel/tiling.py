@@ -320,7 +320,10 @@ def match_pair_tiled_x(
             kouts = asw_kernel.wta_outputs_from_stacks(
                 l_ext, r_ext, cfg, n_valid, want_strip=True
             )
-            outs = {key: kouts[key] for key in ("bestd", "bestc", "cm", "cp")}
+            keys = ("bestd", "bestc", "cm", "cp")
+            if cfg.uniqueness_ratio > 0:
+                keys += ("ubest",)
+            outs = {key: kouts[key] for key in keys}
             own_c, own_d = kouts["rbestc"], kouts["rbestd"]
             strip_c, strip_d = kouts["r_strip_c"], kouts["r_strip_d"]
         else:
@@ -330,6 +333,14 @@ def match_pair_tiled_x(
             else:
                 vol = aggregate.aggregate_asw_from_stacks(l_ext, r_ext, cfg)
             outs = wta_ops.wta_with_triple(vol)  # local (H, ws) planes
+            if cfg.uniqueness_ratio > 0:
+                # per-pixel over the full d row — position-independent, so
+                # tiled == untiled stays bit-exact
+                outs["ubest"] = wta_ops.second_best_excl_neighbors(
+                    vol, outs["bestd"]
+                )
+            else:
+                outs.pop("ubest", None)
 
             # Right-view partial over x' in [x0 - (D-1), x0 + ws): candidate
             # (x', d) lives here iff left pixel x'+d is owned and real.
@@ -372,20 +383,18 @@ def match_pair_tiled_x(
 
         # Gather the small winner planes; x-global post-processing runs
         # replicated, then each shard emits its own slice.
-        fields = (
+        fields = [
             outs["bestd"], outs["bestc"], outs["cm"], outs["cp"], own_d,
-        )
+        ]
+        names = ["bestd", "bestc", "cm", "cp", "rbestd"]
+        if cfg.uniqueness_ratio > 0:
+            fields.append(outs["ubest"])
+            names.append("ubest")
         full = [
             jnp.moveaxis(lax.all_gather(f, axis), 0, 1).reshape(h, n * ws)
             for f in fields
         ]
-        gouts = {
-            "bestd": full[0][:, :w],
-            "bestc": full[1][:, :w],
-            "cm": full[2][:, :w],
-            "cp": full[3][:, :w],
-            "rbestd": full[4][:, :w],
-        }
+        gouts = {k: v[:, :w] for k, v in zip(names, full)}
         disp = pipeline._disp_pre_from_wta(gouts, cfg)
         if cfg.median_filter:
             guide = None

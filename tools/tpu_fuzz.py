@@ -153,6 +153,11 @@ def main():
             subpixel=bool(rng.integers(2)),
             median_filter=bool(rng.integers(2)),
             median_mode=str(rng.choice(["plain", "weighted"])),
+            # WTA-uniqueness gate (round 5): exercises the kernels'
+            # second-best-excl-+-1 export (ubest) against the jnp volume
+            # form; with fill_holes=True a mask mismatch shows up as a
+            # filled-value disagreement
+            uniqueness_ratio=float(rng.choice([0.0, 0.0, 5.0, 15.0])),
         )
         # geometry comfortably larger than the window and D
         h = int(rng.integers(3 * r + 9, 3 * r + 41))
