@@ -51,6 +51,13 @@ def build_parser():
                      help="two-pass separable ASW approximation (O(K) taps "
                           "per pixel instead of O(K^2); accuracy tracks "
                           "exact ASW on the hard synthetic regime)")
+    cfg.add_argument("--uniqueness-ratio", type=float,
+                     help="cv2-style WTA-uniqueness confidence gate: reject "
+                     "a pixel unless its best cost wins the second-best over "
+                     "d outside [best-1, best+1] by this percent (0 = off)")
+    cfg.add_argument("--no-fill", action="store_true",
+                     help="refuse mode: gated pixels stay -1 instead of "
+                     "being filled (partial-coverage operating point)")
     cfg.add_argument("--kernel-layout", choices=["auto", "xlanes", "dlanes"],
                      help="Pallas data layout (auto picks per config)")
     cfg.add_argument("--no-postprocess", action="store_true",
@@ -108,10 +115,13 @@ def main(argv=None):
         ("aggregation", "aggregation"), ("window_radius", "window_radius"),
         ("backend", "backend"), ("y_chunks", "y_chunks"),
         ("kernel_layout", "kernel_layout"),
+        ("uniqueness_ratio", "uniqueness_ratio"),
     ]:
         v = getattr(args, name)
         if v is not None:
             overrides[field] = v
+    if args.no_fill:
+        overrides["fill_holes"] = False
     if args.left_only_weights:
         overrides["asw_symmetric"] = False
     if args.separable:

@@ -143,3 +143,26 @@ def test_dshard_rejects_uniqueness():
 def test_config_validation():
     with pytest.raises(ValueError, match="uniqueness_ratio"):
         StereoConfig(uniqueness_ratio=-1.0)
+
+
+def test_confidence_surface_reproduces_gate(pair):
+    """match_pair_with_confidence: thresholding the exported uniq_pct
+    host-side reproduces the in-graph uniqueness_ratio gate's reject mask
+    (up to f32 division rounding — assert exact here on a scene with no
+    knife-edge ties), and lr_valid matches the LR gate."""
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    base = _cfg(uniqueness_ratio=0.0)  # gates off in the confidence run
+    disp, uniq, lrv = jax.jit(
+        functools.partial(pipeline.match_pair_with_confidence, cfg=base)
+    )(l, r)
+    disp, uniq, lrv = map(np.asarray, (disp, uniq, lrv))
+    # disp from the confidence run carries the configured gates (LR only)
+    np.testing.assert_array_equal(
+        disp, np.asarray(J(pipeline.match_pair, cfg=base)(l, r))
+    )
+    for ratio in (5.0, 15.0):
+        gated = np.asarray(
+            J(pipeline.match_pair, cfg=_cfg(uniqueness_ratio=ratio))(l, r)
+        )
+        host_mask = lrv & (uniq >= ratio)
+        np.testing.assert_array_equal(host_mask, gated >= 0)
