@@ -243,6 +243,24 @@ def cached_match_pair(cfg, left, right):
     )
 
 
+def cached_match_pair_with_confidence(cfg, left, right):
+    """AOT-cached ``pipeline.match_pair_with_confidence`` entry:
+    (callable returning (disp, uniq_pct, lr_valid), source).  Same key
+    scheme as the other entries; shared by the serving daemon's
+    confidence response mode and tools/refuse_curve.py."""
+    from ..models import pipeline
+
+    def entry(l, r):
+        return pipeline.match_pair_with_confidence(
+            l.astype(jnp.float32), r.astype(jnp.float32), cfg
+        )
+
+    return compile_cached(
+        entry, (left, right),
+        key_parts=("match_pair_conf", cfg.config_hash()),
+    )
+
+
 def cached_match_batch(cfg, lefts, rights):
     """Batched-pipeline analog of ``cached_match_pair``: (callable, source).
 

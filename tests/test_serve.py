@@ -221,3 +221,36 @@ def test_serve_idle_timeout_frees_handler(tmp_path):
         proc.terminate()
         proc.wait(timeout=10)
         log.close()
+
+
+@pytest.mark.slow
+def test_serve_confidence_response(tmp_path):
+    """"confidence": true appends the uniqueness margin + LR mask planes;
+    thresholding them client-side reproduces the uniqueness_ratio gate."""
+    proc, port, log = _spawn_server(tmp_path)
+    try:
+        pair = synthetic.make_pair(height=32, width=48, max_disparity=8, seed=2)
+        cfgd = dict(max_disparity=8, aggregation="asw", window_radius=2,
+                    lr_check=True, fill_holes=False, subpixel=True,
+                    median_filter=False)
+        with _connect(port, tmp_path) as sock:
+            sock.settimeout(180)
+            disp, rh, uniq, lrv = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd, confidence=True)
+            assert rh["confidence"] is True
+            assert uniq.shape == disp.shape == lrv.shape == (32, 48)
+            assert uniq.dtype == np.float32 and lrv.dtype == bool
+            # LR mask consistent with the holes in the refuse-mode disp
+            np.testing.assert_array_equal(lrv, disp >= 0)
+            # thresholding reproduces the in-graph gate (same config +
+            # uniqueness_ratio) served over the plain path
+            gated, _ = serve_mod.send_request(
+                sock, pair["left"], pair["right"],
+                dict(cfgd, uniqueness_ratio=10.0))
+            np.testing.assert_array_equal(lrv & (uniq >= 10.0), gated >= 0)
+            # gate actually fires on this scene
+            assert 0.3 < float(np.mean(gated >= 0)) < 1.0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        log.close()

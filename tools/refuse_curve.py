@@ -44,7 +44,6 @@ def run(geoms, seeds, out_path):
     import jax.numpy as jnp
 
     from aswstereomatch_tpu.config import StereoConfig
-    from aswstereomatch_tpu.models import pipeline
     from aswstereomatch_tpu.utils import aotcache, evaluate, synthetic
 
     rows = []
@@ -74,12 +73,8 @@ def run(geoms, seeds, out_path):
                     fill_holes=False, subpixel=True, median_filter=False,
                 )
 
-                def conf_entry(l, r, cfg=cfg):
-                    return pipeline.match_pair_with_confidence(l, r, cfg)
-
-                fn, _src = aotcache.compile_cached(
-                    conf_entry, (l_dev, r_dev),
-                    key_parts=("match_pair_conf", cfg.config_hash()),
+                fn, _src = aotcache.cached_match_pair_with_confidence(
+                    cfg, l_dev, r_dev
                 )
                 disp, uniq, lrv = fn(l_dev, r_dev)
                 disp = np.asarray(disp)

@@ -10,10 +10,18 @@ Protocol (all little-endian):
   request:  u32 header_len | header JSON | left bytes | right bytes
             header: {"height", "width", "channels", "config": {...overrides},
                      "dtype": "float32" (default) | "uint8",
-                     "response_dtype": "float32" (default) | "uint16_x256"}
+                     "response_dtype": "float32" (default) | "uint16_x256",
+                     "confidence": false (default) | true}
   response: u32 header_len | header JSON | disparity bytes
+            [| uniq_pct float32 H*W | lr_valid uint8 H*W when confidence]
             header: {"status": "ok", "height", "width", "elapsed_ms",
-                     "dtype"} or {"status": "error", "message"}
+                     "dtype", "confidence"} or {"status": "error", "message"}
+
+With "confidence": true the response appends the per-pixel WTA-uniqueness
+margin (percent, float32) and the LR-validity mask — the selectable-
+coverage surface: the consumer thresholds ``uniq_pct >= r`` downstream
+instead of requesting a recompile per operating point (see
+``pipeline.match_pair_with_confidence`` and ``tools/refuse_curve.py``).
 
 The "uint16_x256" response format is the KITTI on-disk disparity
 encoding (d*256 rounded to uint16, 1/256 px steps — far below the
@@ -76,7 +84,15 @@ def _recv_exact(sock, n: int) -> bytes:
 
 
 def send_request(sock, left: np.ndarray, right: np.ndarray, config: dict,
-                 dtype: str = "float32", response_dtype: str = "float32"):
+                 dtype: str = "float32", response_dtype: str = "float32",
+                 confidence: bool = False):
+    """One request/response round trip.
+
+    Returns ``(disp, rheader)``, or with ``confidence=True``
+    ``(disp, rheader, uniq_pct, lr_valid)`` — the per-pixel WTA-uniqueness
+    margin (float32, percent) and LR-validity mask, so the caller picks
+    its coverage operating point by thresholding (see
+    ``pipeline.match_pair_with_confidence``)."""
     header = {
         "height": left.shape[0],
         "width": left.shape[1],
@@ -84,6 +100,7 @@ def send_request(sock, left: np.ndarray, right: np.ndarray, config: dict,
         "config": config,
         "dtype": dtype,
         "response_dtype": response_dtype,
+        "confidence": confidence,
     }
     wire = np.dtype(dtype)
     hb = json.dumps(header).encode()
@@ -103,6 +120,14 @@ def send_request(sock, left: np.ndarray, right: np.ndarray, config: dict,
         disp = np.frombuffer(_recv_exact(sock, h * w * 4), np.float32).reshape(
             h, w
         )
+    if rheader.get("confidence"):
+        uniq = np.frombuffer(
+            _recv_exact(sock, h * w * 4), np.float32
+        ).reshape(h, w)
+        lrv = np.frombuffer(_recv_exact(sock, h * w), np.uint8).reshape(
+            h, w
+        ).astype(bool)
+        return disp, rheader, uniq, lrv
     return disp, rheader
 
 
@@ -185,7 +210,8 @@ class _Handler(socketserver.BaseRequestHandler):
                     cfg = dataclasses.replace(get_preset(preset), **cdict)
                 else:
                     cfg = StereoConfig(**cdict)
-                key = (cfg.config_hash(), shape, left.dtype.str)
+                want_conf = bool(header.get("confidence", False))
+                key = (cfg.config_hash(), shape, left.dtype.str, want_conf)
                 if key not in cache:
                     # AOT executable cache: a known (config, shape, dtype)
                     # warm start costs ~0.5 s instead of the 1-4 min Mosaic
@@ -194,9 +220,13 @@ class _Handler(socketserver.BaseRequestHandler):
                     # same program must not each pay the compile.
                     from aswstereomatch_tpu.utils import aotcache
 
+                    get = (
+                        aotcache.cached_match_pair_with_confidence
+                        if want_conf else aotcache.cached_match_pair
+                    )
                     with self.server.compile_lock:
                         if key not in cache:
-                            cache[key], _ = aotcache.cached_match_pair(
+                            cache[key], _ = get(
                                 cfg, jnp.asarray(left), jnp.asarray(right)
                             )
                 rdtype = header.get("response_dtype", "float32")
@@ -204,7 +234,11 @@ class _Handler(socketserver.BaseRequestHandler):
                     raise ValueError(f"unsupported response_dtype {rdtype}")
                 t0 = time.perf_counter()
                 l_dev, r_dev = jnp.asarray(left), jnp.asarray(right)
-                disp = cache[key](l_dev, r_dev)
+                uniq = lrv = None
+                if want_conf:
+                    disp, uniq, lrv = cache[key](l_dev, r_dev)
+                else:
+                    disp = cache[key](l_dev, r_dev)
                 if rdtype == "uint16_x256":
                     # Encode on device: halves the D2H fetch (the largest
                     # per-request term after compute through the tunnel).
@@ -226,8 +260,14 @@ class _Handler(socketserver.BaseRequestHandler):
                     "width": disp.shape[1],
                     "elapsed_ms": round(1e3 * (time.perf_counter() - t0), 2),
                     "dtype": rdtype,
+                    "confidence": want_conf,
                 }
                 body = disp.tobytes()
+                if want_conf:
+                    # confidence planes ride fixed wires: uniqueness
+                    # margin f32 then LR-validity u8 (H*W each)
+                    body += np.asarray(uniq, np.float32).tobytes()
+                    body += np.asarray(lrv).astype(np.uint8).tobytes()
             except _ProtocolError as e:  # report, then drop the connection
                 rheader = {"status": "error", "message": f"protocol: {e}"}
                 body = b""

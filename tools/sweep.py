@@ -58,6 +58,9 @@ def main(argv=None):
     ap.add_argument("--max-disparity", type=int)
     ap.add_argument("--window-radius", type=int)
     ap.add_argument("--backend", choices=["auto", "jnp", "pallas"])
+    ap.add_argument("--uniqueness-ratio", type=float,
+                    help="cv2-style WTA-uniqueness confidence gate "
+                    "(percent margin; 0 = off)")
     ap.add_argument("--manifest", default=None)
     ap.add_argument("--queue-depth", type=int, default=4,
                     help="submit-ahead depth (in-flight device pairs)")
@@ -79,7 +82,8 @@ def main(argv=None):
     cfg = get_preset(args.preset)
     overrides = {
         k: getattr(args, k)
-        for k in ("max_disparity", "window_radius", "backend")
+        for k in ("max_disparity", "window_radius", "backend",
+                  "uniqueness_ratio")
         if getattr(args, k) is not None
     }
     if overrides:
