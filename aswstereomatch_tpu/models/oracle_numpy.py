@@ -343,6 +343,40 @@ def median3(disp: np.ndarray) -> np.ndarray:
     return out
 
 
+def aggregate_sgm(vol: np.ndarray, cfg: StereoConfig) -> np.ndarray:
+    """Literal 4-path semi-global aggregation (recurrence pinned in
+    config.py): per direction r with predecessor q = p - r,
+    L_r(p,d) = C(p,d) + min(L_r(q,d), L_r(q,d-1)+P1, L_r(q,d+1)+P1,
+    min_d' L_r(q,d') + P2) - min_d' L_r(q,d'); S = sum over the four
+    directions in the pinned order (l2r, r2l, t2b, b2t)."""
+    h, w, D = vol.shape
+    p1, p2 = np.float32(cfg.sgm_p1), np.float32(cfg.sgm_p2)
+    out = np.zeros_like(vol, np.float32)
+    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+        L = np.zeros_like(vol, np.float32)
+        ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
+        xs = range(w) if dx >= 0 else range(w - 1, -1, -1)
+        for y in ys:
+            for x in xs:
+                py, px = y - dy, x - dx
+                if not (0 <= py < h and 0 <= px < w):
+                    L[y, x] = vol[y, x]
+                    continue
+                prev = L[py, px]
+                pmin = np.float32(prev.min())
+                for d in range(D):
+                    cands = [prev[d], np.float32(pmin + p2)]
+                    if d > 0:
+                        cands.append(np.float32(prev[d - 1] + p1))
+                    if d < D - 1:
+                        cands.append(np.float32(prev[d + 1] + p1))
+                    L[y, x, d] = np.float32(
+                        vol[y, x, d] + min(cands) - pmin
+                    )
+        out = (out + L).astype(np.float32)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Full pipeline
 # ---------------------------------------------------------------------------
@@ -353,6 +387,8 @@ def match_pair(left: np.ndarray, right: np.ndarray, cfg: StereoConfig) -> np.nda
         vol = aggregate_box(
             cost_volume_ext(left, right, cfg, cfg.window_radius), cfg
         )
+    elif cfg.aggregation == "sgm":
+        vol = aggregate_sgm(cost_volume(left, right, cfg), cfg)
     elif cfg.aggregation == "asw":
         agg = aggregate_asw_separable if cfg.asw_separable else aggregate_asw
         vol = agg(

@@ -38,6 +38,8 @@ def aggregated_volume(
     if cfg.aggregation == "box":
         vol_ext = cost.cost_volume(left, right, cfg, x_extend=cfg.window_radius)
         return aggregate.aggregate_box(vol_ext, cfg)
+    if cfg.aggregation == "sgm":
+        return aggregate.aggregate_sgm(cost.cost_volume(left, right, cfg), cfg)
     return cost.cost_volume(left, right, cfg)
 
 
@@ -135,6 +137,11 @@ def match_pair_chunked(
     tiles); this is how KITTI-scale volumes fit one chip on the non-Pallas
     path, where the (H, W, w^2) weight planes would otherwise exceed HBM.
     """
+    if cfg.aggregation == "sgm":
+        raise ValueError(
+            "aggregation='sgm' propagates globally along scanlines; "
+            "y_chunks row streaming cannot reproduce the unchunked result"
+        )
     h, w = left.shape[:2]
     n = cfg.y_chunks
     halo = cfg.halo_y

@@ -318,3 +318,71 @@ def aggregate_asw(
     return aggregate_asw_from_stacks(
         pad(ls, r, r), pad(rs, r + D - 1, r), cfg, d_indices
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-global aggregation (aggregation="sgm") — a beyond-reference extension
+# (round 5; recurrence pinned in config.py).  The reference implements the
+# LOCAL adaptive-support-weight method; the round-4 hard-regime measurement
+# (bench_results/opencv_compare_hard.json) showed semi-global smoothness
+# propagation is the stronger approach on ambiguous content at high
+# coverage, so this closes that measured frontier.  TPU shape: each of the
+# four path directions is one lax.scan along a spatial axis carrying a
+# (lines, D) plane — per step a handful of vectorized (lines, D) mins/adds,
+# which XLA fuses; no gathers, no data-dependent control flow.
+# ---------------------------------------------------------------------------
+
+def _sgm_scan(vol: jnp.ndarray, p1: float, p2: float) -> jnp.ndarray:
+    """One directional pass along axis 0 of ``vol`` (N, M, D).
+
+    Carries the previous step's (M, D) cost plane; the d+-1 neighbor terms
+    are static pad-shifts (out-of-range -> +inf per the pinned spec).  The
+    per-step vector work is tiny, so the pass is sequential-overhead-bound
+    on TPU; ``unroll=8`` amortizes the while-loop trip cost (measured
+    below in aggregate_sgm) and is value-neutral (same op order per step).
+    """
+    p1 = jnp.float32(p1)
+    p2 = jnp.float32(p2)
+    inf = jnp.float32(jnp.inf)
+
+    def step(prev, c):
+        pmin = jnp.min(prev, axis=-1, keepdims=True)
+        up = jnp.pad(prev[:, :-1], ((0, 0), (1, 0)), constant_values=inf)
+        dn = jnp.pad(prev[:, 1:], ((0, 0), (0, 1)), constant_values=inf)
+        best = jnp.minimum(
+            jnp.minimum(prev, pmin + p2),
+            jnp.minimum(up, dn) + p1,
+        )
+        out = c + best - pmin
+        return out, out
+
+    _, rest = lax.scan(step, vol[0], vol[1:], unroll=8)
+    return jnp.concatenate([vol[:1], rest], axis=0)
+
+
+def aggregate_sgm(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
+    """4-path semi-global aggregation of a raw (H, W, D) cost volume.
+
+    S = L(left-to-right) + L(right-to-left) + L(top-down) + L(bottom-up),
+    summed in that pinned order (models/oracle_numpy.py is the loop form).
+
+    TPU shape: the two opposed directions of each axis are PACKED into one
+    scan (a reversed copy concatenated along the carried-plane axis), so
+    the whole aggregation is two sequential scans (W steps + H steps)
+    instead of four — rows of the carried plane never interact in the
+    step, so each packed half is bit-identical to its standalone pass.
+    """
+    p1, p2 = cfg.sgm_p1, cfg.sgm_p2
+    h, w, D = vol.shape
+    volx = jnp.swapaxes(vol, 0, 1)  # (W, H, D): scan along x
+    sx = _sgm_scan(
+        jnp.concatenate([volx, volx[::-1]], axis=1), p1, p2
+    )  # (W, 2H, D): forward pass | reversed-x pass
+    l2r = jnp.swapaxes(sx[:, :h], 0, 1)
+    r2l = jnp.swapaxes(sx[::-1, h:], 0, 1)
+    sy = _sgm_scan(
+        jnp.concatenate([vol, vol[::-1]], axis=1), p1, p2
+    )  # (H, 2W, D)
+    t2b = sy[:, :w]
+    b2t = sy[::-1, w:]
+    return (((l2r + r2l) + t2b) + b2t).astype(jnp.float32)

@@ -21,15 +21,24 @@ from ..config import StereoConfig
 def right_volume(vol: jnp.ndarray) -> jnp.ndarray:
     """C_R(x', d) = C_L(x' + d, d) by volume reuse; candidates with
     x' + d > W - 1 have no left pixel and are excluded (+inf).  vol: (H, W, D).
+
+    Gather-free log-shear: TPU gathers serialize (the round-3 LR/median
+    pathologies; measured again here on the SGM path: the take_along_axis
+    form cost 840 ms at KITTI scale vs ~30 ms for log2(D) whole-volume
+    rolls).  Each output stays in range of the inf-padded plane
+    (x + d <= W + D - 2), so no roll wrap ever reaches a kept position —
+    element-identical to the direct gather.
     """
     h, w, D = vol.shape
-    x = jnp.arange(w)[:, None]
-    d = jnp.arange(D)[None, :]
-    idx = x + d  # (W, D)
-    gathered = jnp.take_along_axis(
-        vol, jnp.broadcast_to(jnp.minimum(idx, w - 1)[None], (h, w, D)), axis=1
+    m = jnp.pad(
+        vol, ((0, 0), (0, D - 1), (0, 0)), constant_values=jnp.inf
     )
-    return jnp.where(idx[None] <= w - 1, gathered, jnp.inf).astype(jnp.float32)
+    d = jnp.arange(D)[None, None, :]
+    b = 1
+    while b < D:
+        m = jnp.where((d & b) != 0, jnp.roll(m, -b, axis=1), m)
+        b *= 2
+    return m[:, :w, :].astype(jnp.float32)
 
 
 def lr_check(

@@ -88,6 +88,18 @@ def _match_tile(
     )
 
 
+def _reject_global_aggregation(cfg: StereoConfig) -> None:
+    """Scanline-global modes cannot tile: SGM's path recurrences propagate
+    across the whole image, so no finite halo reproduces the untiled
+    result.  Reject instead of silently breaking the bit-exactness
+    invariant (unsharded jnp serves these configs)."""
+    if cfg.aggregation == "sgm":
+        raise ValueError(
+            "aggregation='sgm' propagates globally along scanlines and "
+            "does not support spatial tiling; run unsharded (jnp backend)"
+        )
+
+
 def match_pair_tiled(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -99,6 +111,7 @@ def match_pair_tiled(
     Pads H to a multiple of the tile count (bottom, edge rows) and trims;
     real rows are bit-identical to the untiled pipeline.
     """
+    _reject_global_aggregation(cfg)
     axis = mesh_lib.TILE_AXIS
     n = device_mesh.shape[axis]
     h = left.shape[0]
@@ -143,6 +156,7 @@ def match_batch_sharded(
     (B, H, W[, 3]) inputs; the batch axis shards over DCN-friendly "data"
     (no intra-step collectives), rows over "tile" (ICI halo exchange).
     """
+    _reject_global_aggregation(cfg)
     axis = mesh_lib.TILE_AXIS
     daxis = mesh_lib.DATA_AXIS
     nd = device_mesh.shape[daxis]
@@ -261,6 +275,7 @@ def match_pair_tiled_x(
     f32-reduction-order (argmin-level).  An explicit
     `kernel_layout="dlanes"` is rejected rather than silently overridden.
     """
+    _reject_global_aggregation(cfg)
     from ..ops import aggregate, postprocess, preprocess
     from ..ops import wta as wta_ops
 

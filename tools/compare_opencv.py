@@ -90,6 +90,12 @@ def run(geoms, out_path, regime="smooth"):
                 max_disparity=D, cost="tad_grad", aggregation="asw",
                 window_radius=16, lr_check=True, fill_holes=False,
                 subpixel=True, median_filter=False)),
+            # Semi-global mode (round 5, beyond-reference): the accuracy
+            # mode for ambiguous content — dense, like our other rows.
+            ("ours_sgm", StereoConfig(
+                max_disparity=D, cost="tad_grad", aggregation="sgm",
+                lr_check=True, fill_holes=True, subpixel=True,
+                median_filter=True)),
         ]:
             fn = jax.jit(functools.partial(pipeline.match_pair, cfg=cfg))
             disp = fn(jnp.asarray(left), jnp.asarray(right))
