@@ -39,7 +39,7 @@ def build_parser():
     cfg.add_argument("--preset", help="named preset (see config.PRESETS)")
     cfg.add_argument("--max-disparity", type=int)
     cfg.add_argument("--cost", choices=["ad", "tad_grad"])
-    cfg.add_argument("--aggregation", choices=["none", "box", "asw"])
+    cfg.add_argument("--aggregation", choices=["none", "box", "asw", "sgm"])
     cfg.add_argument("--window-radius", type=int)
     cfg.add_argument("--backend", choices=["auto", "jnp", "pallas"])
     cfg.add_argument("--y-chunks", type=int)
