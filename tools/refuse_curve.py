@@ -66,9 +66,11 @@ def run(geoms, seeds, out_path):
             nonocc = ~pair["occluded"]
             l_dev, r_dev = jnp.asarray(left), jnp.asarray(right)
 
-            for mode, sep in (("exact", False), ("sep", True)):
+            for mode, agg, sep in (("exact", "asw", False),
+                                   ("sep", "asw", True),
+                                   ("sgm", "sgm", False)):
                 cfg = StereoConfig(
-                    max_disparity=D, cost="tad_grad", aggregation="asw",
+                    max_disparity=D, cost="tad_grad", aggregation=agg,
                     window_radius=16, asw_separable=sep, lr_check=True,
                     fill_holes=False, subpixel=True, median_filter=False,
                 )
