@@ -128,3 +128,16 @@ def test_sgm_preset():
 
     cfg = get_preset("kitti_sgm")
     assert cfg.aggregation == "sgm" and cfg.max_disparity == 128
+
+
+def test_sgm_batch_and_matcher_api(pair):
+    """SGM through the public batch/matcher surfaces (vmap over scans)."""
+    import aswstereomatch_tpu as asm
+
+    m = asm.StereoMatcher(_cfg())
+    single = np.asarray(m(pair["left"], pair["right"]))
+    lefts = np.stack([pair["left"]] * 2)
+    rights = np.stack([pair["right"]] * 2)
+    batched = np.asarray(m.batch(lefts, rights))
+    assert batched.shape == (2,) + single.shape
+    np.testing.assert_allclose(batched[0], single, atol=1e-4)
