@@ -101,6 +101,12 @@ class StereoConfig:
                                        # defaults from the round-5 hard-
                                        # regime sweep (plateau at 8/32 on
                                        # the TAD cost scale, max ~37)
+    sgm_paths: int = 4                 # 4 (axial) | 8 (+ diagonals, cv2
+                                       # MODE_HH-class).  8-path order
+                                       # (pinned): axial sum, then
+                                       # (1,1), (1,-1), (-1,1), (-1,-1);
+                                       # diagonal first-pixel rule: no
+                                       # in-image predecessor -> L = C
     asw_separable: bool = False        # two-pass (vertical then horizontal)
                                        # separable approximation of the ASW
                                        # window: O(K) taps instead of O(K^2).
@@ -160,6 +166,8 @@ class StereoConfig:
         if self.aggregation == "sgm":
             if self.sgm_p1 < 0 or self.sgm_p2 < self.sgm_p1:
                 raise ValueError("require 0 <= sgm_p1 <= sgm_p2")
+            if self.sgm_paths not in (4, 8):
+                raise ValueError("sgm_paths must be 4 or 8")
         if self.tile_axis not in ("y", "x", "d"):
             raise ValueError("tile_axis must be 'y', 'x' or 'd'")
         if self.max_disparity < 1:

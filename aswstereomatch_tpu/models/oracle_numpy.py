@@ -352,7 +352,10 @@ def aggregate_sgm(vol: np.ndarray, cfg: StereoConfig) -> np.ndarray:
     h, w, D = vol.shape
     p1, p2 = np.float32(cfg.sgm_p1), np.float32(cfg.sgm_p2)
     out = np.zeros_like(vol, np.float32)
-    for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+    dirs = [(0, 1), (0, -1), (1, 0), (-1, 0)]
+    if cfg.sgm_paths == 8:
+        dirs += [(1, 1), (1, -1), (-1, 1), (-1, -1)]
+    for dy, dx in dirs:
         L = np.zeros_like(vol, np.float32)
         ys = range(h) if dy >= 0 else range(h - 1, -1, -1)
         xs = range(w) if dx >= 0 else range(w - 1, -1, -1)

@@ -385,4 +385,45 @@ def aggregate_sgm(vol: jnp.ndarray, cfg: StereoConfig) -> jnp.ndarray:
     )  # (H, 2W, D)
     t2b = sy[:, :w]
     b2t = sy[::-1, w:]
-    return (((l2r + r2l) + t2b) + b2t).astype(jnp.float32)
+    s = ((l2r + r2l) + t2b) + b2t
+    if cfg.sgm_paths == 8:
+        # Diagonals, packed the same way: one top-down scan carries the
+        # (1,1) and (1,-1) paths side by side (first half's predecessor
+        # shifts +1 in x, second half's -1); its bottom-up mirror carries
+        # (-1,1) and (-1,-1) (same shift structure on the reversed rows).
+        dvol = jnp.concatenate([vol, vol], axis=1)
+        dt = _sgm_scan_diag(dvol, p1, p2, w)
+        db = _sgm_scan_diag(dvol[::-1], p1, p2, w)[::-1]
+        s = (((s + dt[:, :w]) + dt[:, w:]) + db[:, :w]) + db[:, w:]
+    return s.astype(jnp.float32)
+
+
+def _sgm_scan_diag(vol2: jnp.ndarray, p1: float, p2: float, w: int) -> jnp.ndarray:
+    """Packed diagonal pass along axis 0 of ``vol2`` (N, 2W, D).
+
+    The carried plane's predecessor shifts one column per row step: +1 for
+    the first W columns (the (dy, +1) path) and -1 for the last W (the
+    (dy, -1) path).  Columns whose diagonal predecessor falls outside the
+    image take L = C (the pinned first-pixel rule) — the inf-shifted
+    column yields a non-finite pmin there, selected away with a where.
+    """
+    p1 = jnp.float32(p1)
+    p2 = jnp.float32(p2)
+    inf = jnp.float32(jnp.inf)
+
+    def step(prev, c):
+        a = jnp.pad(prev[:w][:-1], ((1, 0), (0, 0)), constant_values=inf)
+        b = jnp.pad(prev[w:][1:], ((0, 1), (0, 0)), constant_values=inf)
+        ps = jnp.concatenate([a, b], axis=0)
+        pmin = jnp.min(ps, axis=-1, keepdims=True)
+        up = jnp.pad(ps[:, :-1], ((0, 0), (1, 0)), constant_values=inf)
+        dn = jnp.pad(ps[:, 1:], ((0, 0), (0, 1)), constant_values=inf)
+        best = jnp.minimum(
+            jnp.minimum(ps, pmin + p2),
+            jnp.minimum(up, dn) + p1,
+        )
+        out = jnp.where(jnp.isfinite(pmin), c + best - pmin, c)
+        return out, out
+
+    _, rest = lax.scan(step, vol2[0], vol2[1:], unroll=8)
+    return jnp.concatenate([vol2[:1], rest], axis=0)

@@ -141,3 +141,21 @@ def test_sgm_batch_and_matcher_api(pair):
     batched = np.asarray(m.batch(lefts, rights))
     assert batched.shape == (2,) + single.shape
     np.testing.assert_allclose(batched[0], single, atol=1e-4)
+
+
+def test_sgm_eight_paths_matches_oracle(pair):
+    """sgm_paths=8 adds the four diagonal paths (packed two per scan);
+    parity vs the literal 8-direction loop oracle, and the mode is
+    measurably different from 4-path (the diagonals contribute)."""
+    cfg = _cfg(sgm_paths=8)
+    l, r = jnp.asarray(pair["left"]), jnp.asarray(pair["right"])
+    vol_j = np.asarray(J(pipeline.aggregated_volume, cfg=cfg)(l, r))
+    vol_o = oracle_numpy.aggregate_sgm(
+        oracle_numpy.cost_volume(pair["left"], pair["right"], cfg), cfg
+    )
+    np.testing.assert_allclose(vol_j, vol_o, atol=1e-3)
+    assert float(np.mean(vol_j.argmin(-1) == vol_o.argmin(-1))) > 0.999
+    vol4 = np.asarray(J(pipeline.aggregated_volume, cfg=_cfg())(l, r))
+    assert not np.allclose(vol_j, vol4)
+    with pytest.raises(ValueError, match="sgm_paths"):
+        StereoConfig(aggregation="sgm", sgm_paths=6)
