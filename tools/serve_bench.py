@@ -37,6 +37,7 @@ from tools.serve import send_request
 
 
 # The headline config: serving measures the same program bench.py does.
+# (--preset overrides, e.g. kitti_sgm for the accuracy mode.)
 CFG = dict(preset="kitti_sep")
 
 
@@ -68,10 +69,12 @@ def client(port, pairs, n_req, lat, srv_ms, spans, errors, barrier, dtype,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=100, help="total requests")
+    ap.add_argument("--preset", default="kitti_sep")
     ap.add_argument("--clients", type=int, default=4)
     ap.add_argument("--port", type=int, default=0,
                     help="target a running server instead of spawning one")
     args = ap.parse_args()
+    CFG["preset"] = args.preset
 
     from aswstereomatch_tpu.utils import synthetic
 
@@ -97,7 +100,7 @@ def main():
             except OSError:
                 time.sleep(1)
     try:
-        rec = {"preset": "kitti_sep", "clients": args.clients, "wire": {}}
+        rec = {"preset": args.preset, "clients": args.clients, "wire": {}}
         for dtype, rdtype in (
             ("float32", "float32"),
             ("uint8", "float32"),
@@ -148,8 +151,9 @@ def main():
             "(~16-25 MB/s) through the axon tunnel; on a machine-local "
             "TPU both ride PCIe at >10 GB/s."
         )
-        with open(os.path.join(REPO, "bench_results", "serve_bench.json"),
-                  "w") as f:
+        suffix = "" if args.preset == "kitti_sep" else f"_{args.preset}"
+        with open(os.path.join(REPO, "bench_results",
+                               f"serve_bench{suffix}.json"), "w") as f:
             json.dump(rec, f, indent=2)
         print(json.dumps(rec, indent=2))
         return 0
