@@ -13,6 +13,12 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 import sweep as sweep_mod  # noqa: E402
 
+# These tests run the sweep on the CPU backend inside the pytest process;
+# contending for the real TPU's advisory lock would serialize them behind
+# (or time them out against) any concurrent on-chip tool — use a private
+# lock file instead.
+os.environ.setdefault("ASW_DEVICE_LOCK", "/tmp/asw_sweep_test.lock")
+
 
 def _run(dir_, extra=()):
     rc = sweep_mod.main([
