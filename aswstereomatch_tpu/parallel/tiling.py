@@ -156,14 +156,36 @@ def match_batch_sharded(
     (B, H, W[, 3]) inputs; the batch axis shards over DCN-friendly "data"
     (no intra-step collectives), rows over "tile" (ICI halo exchange).
     """
-    _reject_global_aggregation(cfg)
     axis = mesh_lib.TILE_AXIS
     daxis = mesh_lib.DATA_AXIS
     nd = device_mesh.shape[daxis]
+    if device_mesh.shape[axis] > 1:
+        # Pure data-axis sharding keeps every pair's scanlines intact, so
+        # SGM batches shard fine at tile=1; only the spatial split is
+        # rejected.
+        _reject_global_aggregation(cfg)
     nt = device_mesh.shape[axis]
     b, h = lefts.shape[0], lefts.shape[1]
     if b % nd:
         raise ValueError(f"batch {b} not divisible by data axis {nd}")
+    if cfg.aggregation == "sgm":
+        # Data-only layout (nt == 1, enforced above): each shard runs the
+        # UNSHARDED pipeline on its local pairs — no y halos, because even
+        # edge-replicated halo rows would perturb the global scanline
+        # recurrence (the vertical passes would start from replica rows).
+        ispec = P(daxis) if lefts.ndim == 3 else P(daxis, None, None, None)
+
+        @functools.partial(
+            shard_map,
+            mesh=device_mesh,
+            in_specs=(ispec, ispec),
+            out_specs=P(daxis, None, None),
+            check_vma=False,
+        )
+        def run_sgm(l_blk, r_blk):
+            return pipeline.match_batch(l_blk, r_blk, cfg)
+
+        return run_sgm(lefts, rights)
     pad = (-h) % nt
     if pad:
         widths = [(0, 0), (0, pad)] + [(0, 0)] * (lefts.ndim - 2)

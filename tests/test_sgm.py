@@ -159,3 +159,28 @@ def test_sgm_eight_paths_matches_oracle(pair):
     assert not np.allclose(vol_j, vol4)
     with pytest.raises(ValueError, match="sgm_paths"):
         StereoConfig(aggregation="sgm", sgm_paths=6)
+
+
+def test_sgm_batch_data_sharded(pair):
+    """SGM batches shard over the DATA axis (independent pairs, scanlines
+    intact): results match the unsharded pipeline; any spatial tile split
+    still rejects."""
+    from aswstereomatch_tpu.parallel import tiling
+
+    cfg = _cfg()
+    pair2 = synthetic.make_pair(height=32, width=56, max_disparity=12, seed=9)
+    lefts = jnp.asarray(np.stack([pair["left"], pair2["left"]] * 2))
+    rights = jnp.asarray(np.stack([pair["right"], pair2["right"]] * 2))
+    m = mesh_lib.build_mesh(data=4, tile=1)
+    out = np.asarray(
+        J(tiling.match_batch_sharded, cfg=cfg, device_mesh=m)(lefts, rights)
+    )
+    for i in range(4):
+        ref = np.asarray(
+            J(pipeline.match_pair, cfg=cfg)(lefts[i], rights[i])
+        )
+        np.testing.assert_allclose(out[i], ref, atol=1e-4)
+    with pytest.raises(ValueError, match="sgm"):
+        tiling.match_batch_sharded(
+            lefts, rights, cfg, mesh_lib.build_mesh(data=2, tile=2)
+        )
