@@ -115,6 +115,22 @@ def run_matrix(quick: bool = False) -> int:
                          kernel_layout="dlanes"),
             (40, 160),
         ),
+        # uniqueness confidence gate (round 5): the kernels' ubest export
+        # (x-lanes top-4 tracking; d-lanes lane reduction) feeds the gate
+        # — with fill_holes on, a mask mismatch vs jnp shows up as a
+        # filled-value disagreement in the smoke bound
+        (
+            "uniq15 sym r2 D8",
+            base.replace(uniqueness_ratio=15.0),
+            (32, 144),
+        ),
+        (
+            "uniq15 sep_lo r4 D16",
+            base.replace(asw_separable=True, asw_symmetric=False,
+                         window_radius=4, max_disparity=16,
+                         uniqueness_ratio=15.0, kernel_layout="dlanes"),
+            (40, 160),
+        ),
     ]
     if quick:
         cases = cases[:3]
