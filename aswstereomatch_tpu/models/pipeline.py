@@ -320,16 +320,36 @@ def match_pair_with_confidence(
         disp_i = outs["bestd"]
         rbest = outs["rbestd"].astype(jnp.float32)
     else:
+        if cfg.y_chunks > 1:
+            # The chunked streamer returns only the disparity bands; the
+            # confidence operands would need their own band plumbing.
+            # Reject rather than silently materializing the full volume a
+            # y_chunks config exists to avoid (the production confidence
+            # users — kernel-backed ASW and SGM — never chunk).
+            raise ValueError(
+                "match_pair_with_confidence does not support y_chunks > 1 "
+                "on the jnp path; use y_chunks=1 (or a kernel-backed "
+                "config)"
+            )
         vol = aggregated_volume(left, right, cfg)
         disp = _postprocess_from_volume(vol, cfg, left)
         disp_i = wta.wta(vol)
         bestc = jnp.take_along_axis(vol, disp_i[..., None], axis=-1)[..., 0]
         second = wta.second_best_excl_neighbors(vol, disp_i)
-        rbest = wta.wta(postprocess.right_volume(vol)).astype(jnp.float32)
-    # margin in the exact form the in-graph gate tests:
-    # second*100 >= best*(100+r)  <=>  (second/best - 1)*100 >= r
-    uniq_pct = jnp.clip(
-        (second / jnp.maximum(bestc, 1e-30) - 1.0) * 100.0, 0.0, 1e6
+        rbest = (
+            wta.wta(postprocess.right_volume(vol)).astype(jnp.float32)
+            if cfg.lr_check else None
+        )
+    # Margin in the exact form the in-graph gate tests:
+    # second*100 >= best*(100+r)  <=>  (second/best - 1)*100 >= r for
+    # best > 0; at best == 0 the gate accepts for EVERY ratio (second >= 0
+    # == best*(100+r)), so the margin is +inf there — a plain division
+    # would clip to 0 and flip the decision on exact-zero-cost pixels.
+    uniq_pct = jnp.where(
+        bestc > 0.0,
+        jnp.clip((second / jnp.where(bestc > 0.0, bestc, 1.0) - 1.0) * 100.0,
+                 0.0, 1e6),
+        jnp.float32(1e6),
     )
     if cfg.lr_check:
         lr_valid = postprocess.lr_check(disp_i.astype(jnp.float32), rbest, cfg)
@@ -412,7 +432,10 @@ class StereoMatcher:
             )
 
     def _cached(self, kind: str, left, right):
-        key = (kind, left.shape, str(left.dtype))
+        # Both dtypes key the executable: AOT programs are signature-bound,
+        # and a mixed-dtype call (u8 left, f32 right) must not collide with
+        # the all-f32 entry.
+        key = (kind, left.shape, str(left.dtype), str(right.dtype))
         fn = self._compiled.get(key)
         if fn is None:
             from ..utils import aotcache

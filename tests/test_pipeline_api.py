@@ -101,3 +101,22 @@ def test_matcher_rides_aot_cache_and_escape_hatch():
     np.testing.assert_array_equal(
         np.asarray(m_jit.batch(lefts, rights)), b_cached
     )
+
+
+def test_matcher_cache_keys_both_dtypes():
+    """Mixed-dtype calls must not collide on one signature-bound
+    executable (review round-5 finding): the compiled-entry cache keys on
+    BOTH input dtypes."""
+    from aswstereomatch_tpu.utils import synthetic
+
+    pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=4)
+    cfg = asm.StereoConfig(max_disparity=8, aggregation="box",
+                           window_radius=2, lr_check=False, fill_holes=False,
+                           subpixel=False, median_filter=False, cost="ad")
+    m = asm.StereoMatcher(cfg)
+    l8 = pair["left"].astype(np.uint8)
+    rf = pair["right"].astype(np.float32)
+    d_mixed = np.asarray(m(l8, rf))
+    d_f32 = np.asarray(m(pair["left"], pair["right"]))
+    assert len(m._compiled) == 2  # distinct signatures, distinct entries
+    np.testing.assert_array_equal(d_mixed, d_f32)  # integral images: lossless

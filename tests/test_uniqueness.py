@@ -166,3 +166,32 @@ def test_confidence_surface_reproduces_gate(pair):
         )
         host_mask = lrv & (uniq >= ratio)
         np.testing.assert_array_equal(host_mask, gated >= 0)
+
+
+def test_confidence_zero_cost_pixels_accept():
+    """Exact-zero best cost: the canonical gate accepts at every ratio
+    (second*100 >= 0 always), so the exported margin must be the +inf
+    sentinel there, not a clipped 0 (review round-5 finding)."""
+    # identical constant images -> AD cost exactly 0 at every (x, d)
+    flat = np.full((16, 48, 3), 128.0, np.float32)
+    cfg = _cfg(cost="ad", lr_check=False, uniqueness_ratio=0.0,
+               aggregation="box", window_radius=2, max_disparity=8)
+    disp, uniq, lrv = jax.jit(
+        functools.partial(pipeline.match_pair_with_confidence, cfg=cfg)
+    )(jnp.asarray(flat), jnp.asarray(flat))
+    uniq = np.asarray(uniq)
+    assert float(uniq.min()) >= 1e6 - 1
+    # and the in-graph gate agrees: everything accepted at a high ratio
+    gated = np.asarray(J(
+        pipeline.match_pair,
+        cfg=cfg.replace(uniqueness_ratio=50.0, fill_holes=False),
+    )(jnp.asarray(flat), jnp.asarray(flat)))
+    assert float(np.mean(gated >= 0)) == 1.0
+
+
+def test_confidence_rejects_y_chunks():
+    with pytest.raises(ValueError, match="y_chunks"):
+        pipeline.match_pair_with_confidence(
+            jnp.zeros((32, 48, 3)), jnp.zeros((32, 48, 3)),
+            _cfg(y_chunks=2),
+        )

@@ -37,17 +37,7 @@ sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import serve as serve_mod  # noqa: E402
-
-
-def rss_mb(pid: int) -> float | None:
-    try:
-        with open(f"/proc/{pid}/status") as f:
-            for line in f:
-                if line.startswith("VmRSS"):
-                    return int(line.split()[1]) / 1024.0
-    except OSError:
-        return None
-    return None
+from soak_runner import rss_mb  # noqa: E402 - one VmRSS parser for both soaks
 
 
 class Supervisor(threading.Thread):
@@ -252,8 +242,8 @@ def main():
         "requests_completed", "unstable", "server_errors",
         "client_reconnects", "supervisor_restarts_on_42", "wall_s",
         "aggregate_pairs_per_s")}))
-    return 0 if not unstable and sup.restarts >= 0 else 1
+    return 0 if not unstable and not errors else 1
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

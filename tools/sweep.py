@@ -89,7 +89,8 @@ def main(argv=None):
     if overrides:
         cfg = cfg.replace(**overrides)
 
-    if args.fetch == "u16" and cfg.lr_check and not cfg.fill_holes:
+    gates_holes = cfg.lr_check or cfg.uniqueness_ratio > 0
+    if args.fetch == "u16" and gates_holes and not cfg.fill_holes:
         # The u16 wire encodes invalid (-1) as 0 — KITTI's on-disk invalid
         # code, but io.write_pfm/evaluate below treat 0.0 as a legal zero
         # disparity, so hole-producing configs would score differently per
