@@ -254,3 +254,34 @@ def test_serve_confidence_response(tmp_path):
         proc.terminate()
         proc.wait(timeout=10)
         log.close()
+
+
+@pytest.mark.slow
+def test_serve_confidence_with_u16_response(tmp_path):
+    """confidence planes compose with the uint16_x256 disparity wire."""
+    proc, port, log = _spawn_server(tmp_path)
+    try:
+        pair = synthetic.make_pair(height=24, width=40, max_disparity=8, seed=5)
+        cfgd = dict(max_disparity=8, aggregation="asw", window_radius=2,
+                    lr_check=True, fill_holes=False, subpixel=True,
+                    median_filter=False)
+        with _connect(port, tmp_path) as sock:
+            sock.settimeout(180)
+            d16, rh, uniq, lrv = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd,
+                response_dtype="uint16_x256", confidence=True)
+            assert rh["dtype"] == "uint16_x256" and rh["confidence"] is True
+            df, _, uniq2, lrv2 = serve_mod.send_request(
+                sock, pair["left"], pair["right"], cfgd, confidence=True)
+            # confidence planes are wire-format independent
+            np.testing.assert_array_equal(uniq, uniq2)
+            np.testing.assert_array_equal(lrv, lrv2)
+            # u16 encodes invalid (-1) as 0; valid pixels match within
+            # the fixed-point step
+            valid = df >= 0
+            assert np.max(np.abs(d16 - df)[valid]) <= 1 / 512 + 1e-6
+            assert np.all(d16[~valid] == 0)
+    finally:
+        proc.terminate()
+        proc.wait(timeout=10)
+        log.close()
